@@ -1,0 +1,70 @@
+"""Checkpoint manifest: idempotent, resumable multi-sink commits.
+
+The reference retries failed requests client-side
+(elasticsearch.rb:139-143, client.rb:49-50) and never loses events —
+failures are tagged and the event continues (dsl_executor.rb:79-87).
+At 100 TB batch scale the equivalent durability contract is an
+idempotent commit protocol: a JSON manifest records, per committed
+route sink, the input lineage (files + row counts), per-sink metrics,
+and the engine/config fingerprint. A re-run with the same manifest
+skips committed sinks; a killed run resumes exactly where it stopped.
+Writes go to a staging directory and are published with an atomic
+rename, so readers never observe partial sinks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+
+class Manifest:
+    VERSION = 1
+
+    def __init__(self, path: str):
+        self.path = path
+        self.data = {"version": self.VERSION, "routes": {}, "runs": []}
+        if os.path.exists(path):
+            with open(path) as f:
+                self.data = json.load(f)
+
+    @property
+    def committed_routes(self) -> set[str]:
+        return set(self.data["routes"])
+
+    def route_entry(self, route: str) -> dict | None:
+        return self.data["routes"].get(route)
+
+    def begin_run(self, run_info: dict) -> str:
+        run_id = uuid.uuid4().hex[:12]
+        self.data["runs"].append({"run_id": run_id, "started_at": time.time(), **run_info})
+        self.flush()  # run history must survive even no-op resume runs
+        return run_id
+
+    def commit_route(
+        self, route: str, run_id: str, metrics: dict, lineage: dict
+    ) -> None:
+        self.data["routes"][route] = {
+            "run_id": run_id,
+            "committed_at": time.time(),
+            "metrics": metrics,
+            "lineage": lineage,
+        }
+        self.flush()
+
+    def flush(self) -> None:
+        tmp = f"{self.path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(self.data, f, indent=2, sort_keys=True)
+        os.replace(tmp, self.path)  # atomic on POSIX
+
+
+def publish_atomic(staging_dir: str, final_dir: str) -> None:
+    """Atomic per-sink publish: stage fully, then one rename."""
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+    os.replace(staging_dir, final_dir)

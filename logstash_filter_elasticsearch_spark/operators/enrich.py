@@ -1,0 +1,259 @@
+"""Set-oriented enrichment: the reference's per-event ES lookup as a join.
+
+The reference runs ONE Elasticsearch search per event and merges the
+response into the event (dsl_executor.rb:28-91):
+
+* ``fields``             — copy dotted paths from each hit's ``_source``;
+                           scalar if exactly 1 hit else array
+                           (dsl_executor.rb:53-60, spec
+                           elasticsearch_dsl_spec.rb:100-119)
+* ``docinfo_fields``     — copy from the hit envelope ``_index/_id/_score``
+                           (dsl_executor.rb:61-68)
+* ``aggregation_fields`` — copy named aggregation results
+                           (dsl_executor.rb:71-77)
+* ``[@metadata][total_hits]`` (dsl_executor.rb:48,99-107)
+* decoration only when matched (elasticsearch.rb:218-221)
+* ``tag_on_failure`` quarantine tags (dsl_executor.rb:79-87)
+* ``result_size`` / ``sort`` top-k hit selection (elasticsearch.rb:127-131)
+* left-outer semantics: no match -> event passes through un-enriched
+  (spec elasticsearch_dsl_spec.rb:180-199)
+
+Spark-first design — why this shape scales to 100 TB:
+
+1. The lookup snapshot is **pre-aggregated once per key** (sort + top-k
+   + full-group aggregates happen on the SMALL side), producing one row
+   per join key with a ``hits`` array. No window function ever runs
+   over the big event table.
+2. The big side then does a single **broadcast hash join** — zero
+   shuffle of the 100 TB side, the exact Spark analog of the
+   reference's shared-client-to-ES hop (elasticsearch.rb:328-332).
+   For lookup tables too big to broadcast, pass ``broadcast=False``
+   and AQE picks shuffled-hash/sort-merge with skew splitting.
+3. All merge rules are pure Column expressions inside whole-stage
+   codegen — zero per-row Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logstash_filter_elasticsearch_spark.functions.fieldref import field_ref_to_path
+
+DEFAULT_FAILURE_TAG = "_elasticsearch_lookup_failure"  # elasticsearch.rb:133-134
+
+
+def _get(col: Column, path: str) -> Column:
+    """Walk a dotted path inside a struct column (dsl_executor.rb:110-125).
+
+    Missing intermediate -> NULL natively (the Ruby code breaks out of
+    the copy; we carry NULL and gate on ``matched``).
+    """
+    return reduce(lambda c, p: c[p], field_ref_to_path(path).split("."), col)
+
+
+@dataclass
+class EnrichSpec:
+    """Declarative config mirroring the plugin's options (elasticsearch.rb:59-161)."""
+
+    event_key: str | Column
+    lookup_key: str
+    # src path in the lookup row -> dest column (fields, dsl_executor.rb:53-60)
+    fields: dict[str, str] = field(default_factory=dict)
+    # src path (envelope cols) -> dest column (dsl_executor.rb:61-68)
+    docinfo_fields: dict[str, str] = field(default_factory=dict)
+    # dest column -> (agg_fn_name, src path) over the FULL key group
+    # (aggregations are computed over all matching docs, not the top-k:
+    #  request_size0_agg.json + spec elasticsearch_dsl_spec.rb:157-178)
+    aggregation_fields: dict[str, tuple[str, str]] = field(default_factory=dict)
+    result_size: int = 1  # elasticsearch.rb:130-131; 0 = agg-only search
+    sort: list[tuple[str, str]] = field(default_factory=lambda: [("@timestamp", "desc")])
+    enable_sort: bool = True  # elasticsearch.rb:127-128
+    target: str | None = None  # nest dest fields under one struct (dsl_executor.rb:21-25)
+    tag_on_failure: list[str] = field(default_factory=lambda: [DEFAULT_FAILURE_TAG])
+    add_tag_on_match: list[str] = field(default_factory=list)
+    broadcast: bool = True
+    keep_hits: bool = False  # expose the raw _hits array for debugging/tests
+
+
+class Enricher:
+    def __init__(self, spec: EnrichSpec):
+        self.spec = spec
+
+    # ---------- small-side preparation (runs on the lookup snapshot) ----------
+
+    def _hit_paths(self) -> list[str]:
+        paths = [field_ref_to_path(p) for p in self.spec.fields]
+        paths += [field_ref_to_path(p) for p in self.spec.docinfo_fields]
+        if self.spec.enable_sort:
+            paths += [field_ref_to_path(p) for p, _ in self.spec.sort]
+        # dedupe preserving order
+        seen: dict[str, None] = {}
+        for p in paths:
+            seen.setdefault(p.split(".")[0], None)
+        return list(seen)
+
+    def _sort_comparator(self):
+        """array_sort comparator from the sort spec (default @timestamp:desc,
+        elasticsearch.rb:43-44; docs/index.asciidoc:510-516)."""
+        sort_spec = self._sort
+
+        def cmp(left: Column, right: Column) -> Column:
+            expr = F.lit(0)
+            # build innermost-first so earlier sort keys take precedence
+            for path, direction in reversed(sort_spec):
+                sign = -1 if direction.lower().startswith("d") else 1
+                lv, rv = _get(left, path), _get(right, path)
+                expr = (
+                    F.when(lv.isNull() & rv.isNull(), expr)
+                    .when(lv.isNull(), F.lit(-sign))
+                    .when(rv.isNull(), F.lit(sign))
+                    .when(lv < rv, F.lit(-sign))
+                    .when(lv > rv, F.lit(sign))
+                    .otherwise(expr)
+                )
+            return expr
+
+        return cmp
+
+    def prepare_lookup(self, lookup: DataFrame) -> DataFrame:
+        """Pre-aggregate the snapshot to ONE row per join key.
+
+        Equivalent of the ES server answering ``{q, size, sort}``
+        (client.rb:57-59) for every possible key at once — but computed
+        on the small side so the event table never shuffles.
+        """
+        spec = self.spec
+        # size-0 search (agg-only, spec elasticsearch_dsl_spec.rb:157-178)
+        # or no copy mappings: skip hit collection entirely — the
+        # broadcast payload shrinks to key + aggregates.
+        self._has_hits = spec.result_size > 0 and bool(
+            spec.fields or spec.docinfo_fields or spec.keep_hits
+        )
+
+        # drop sort keys whose root column is absent from the snapshot —
+        # the lenient analog of ES sort ignore_unmapped for the default
+        # "@timestamp:desc" (elasticsearch.rb:43-44)
+        present = set(lookup.columns)
+        self._sort = [
+            (p, d)
+            for p, d in spec.sort
+            if field_ref_to_path(p).split(".")[0] in present
+        ]
+
+        aggs = [F.count(F.lit(1)).alias("_total_hits")]  # dsl_executor.rb:48
+        if self._has_hits:
+            top_cols = [c for c in self._hit_paths() if c in present]
+            hit_struct = F.struct(*[F.col(c).alias(c) for c in top_cols])
+            aggs.append(F.collect_list(hit_struct).alias("_hits_all"))
+        for dest, (fn, path) in spec.aggregation_fields.items():
+            aggs.append(getattr(F, fn)(F.col(field_ref_to_path(path))).alias(dest))
+
+        grouped = lookup.groupBy(F.col(spec.lookup_key).alias("_join_key")).agg(*aggs)
+
+        if not self._has_hits:
+            return grouped
+        hits = F.col("_hits_all")
+        if spec.enable_sort and self._sort:
+            hits = F.array_sort(hits, self._sort_comparator())
+        hits = F.slice(hits, 1, spec.result_size)
+        return grouped.withColumn("_hits", hits).drop("_hits_all")
+
+    # ---------- big-side application ----------
+
+    def apply(self, events: DataFrame, lookup: DataFrame) -> DataFrame:
+        spec = self.spec
+        prepared = self.prepare_lookup(lookup)
+        if spec.broadcast:
+            prepared = F.broadcast(prepared)
+
+        key = F.col(spec.event_key) if isinstance(spec.event_key, str) else spec.event_key
+        joined = events.join(prepared, key.eqNullSafe(F.col("_join_key")) & key.isNotNull(), "left")
+
+        hits = F.col("_hits") if self._has_hits else None
+        agg_cols = list(spec.aggregation_fields)
+        # matched = any hit OR any aggregation present
+        # (dsl_executor.rb:29,52,73,88-90: @match_performed via hits/aggs)
+        matched = (
+            F.coalesce(F.size(hits) > 0, F.lit(False)) if hits is not None else F.lit(False)
+        )
+        for dest in agg_cols:
+            matched = matched | F.col(dest).isNotNull()
+
+        out = joined.withColumn("_meta_total_hits", F.coalesce("_total_hits", F.lit(0)))
+
+        def extractor(path):
+            # single-arg lambda: F.transform must not see an (elem, idx) arity
+            return lambda h: _get(h, path)
+
+        dest_cols: list[str] = []
+        for src, dest in spec.fields.items():
+            out = out.withColumn(dest, F.transform(hits, extractor(src)))
+            dest_cols.append(dest)
+        for src, dest in spec.docinfo_fields.items():
+            out = out.withColumn(dest, F.transform(hits, extractor(src)))
+            dest_cols.append(dest)
+        dest_cols.extend(agg_cols)
+
+        out = out.withColumn("matched", matched)
+
+        if spec.target:  # dsl_executor.rb:21-25,133-136
+            out = out.withColumn(
+                spec.target, F.struct(*[F.col(c).alias(c) for c in dest_cols])
+            ).drop(*dest_cols)
+
+        if spec.add_tag_on_match:  # filter_matched decoration, elasticsearch.rb:218-221
+            tags = out["tags"] if "tags" in out.columns else F.array().cast("array<string>")
+            out = out.withColumn(
+                "tags",
+                F.when(
+                    F.col("matched"),
+                    F.array_union(
+                        F.coalesce(tags, F.array().cast("array<string>")),
+                        F.array(*[F.lit(t) for t in spec.add_tag_on_match]),
+                    ),
+                ).otherwise(tags),
+            )
+
+        drop = ["_join_key", "_total_hits"]
+        if self._has_hits and not spec.keep_hits:
+            drop.append("_hits")
+        return out.drop(*drop)
+
+
+def scalar_or_array_json(array_col: Column) -> Column:
+    """Render the reference's dynamic scalar-vs-array rule as JSON text.
+
+    1 hit -> the bare scalar (``404``), N>1 hits -> the JSON array
+    (``[404,404,...]``) — exactly dsl_executor.rb:58 / spec
+    elasticsearch_dsl_spec.rb:100-119. Fixed-schema consumers keep the
+    array column + ``_meta_total_hits``; this helper exists for parity
+    testing and JSON sinks.
+    """
+    j = F.to_json(array_col)
+    return F.when(
+        F.size(array_col) == 1, F.regexp_replace(j, r"^\[|\]$", "")
+    ).otherwise(j)
+
+
+def tag_failures(
+    df: DataFrame, fail_condition: Column, tags_to_add: list[str] | None = None
+) -> DataFrame:
+    """Append ``tag_on_failure`` tags where the condition holds.
+
+    The event is still delivered (reference: rescue -> tag -> continue,
+    dsl_executor.rb:79-87; esql_executor.rb:39-42). Downstream routing
+    sends tagged rows to the quarantine sink.
+    """
+    tags_to_add = tags_to_add or [DEFAULT_FAILURE_TAG]
+    existing = df["tags"] if "tags" in df.columns else F.array().cast("array<string>")
+    existing = F.coalesce(existing, F.array().cast("array<string>"))
+    return df.withColumn(
+        "tags",
+        F.when(
+            fail_condition, F.array_union(existing, F.array(*[F.lit(t) for t in tags_to_add]))
+        ).otherwise(existing),
+    )

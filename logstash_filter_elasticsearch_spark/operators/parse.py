@@ -1,0 +1,72 @@
+"""Vectorized parse stage: grok/regex extraction of join & route keys.
+
+The reference interpolates event fields into a query per event
+(dsl_executor.rb:31,37). In the set-oriented graft, the inverse
+operation — extracting structured fields OUT of the raw ``doc_id`` /
+``source`` byte columns — is the first pipeline stage. Rows whose
+``doc_id`` doesn't match the expected shape are tagged
+(``tag_on_failure`` semantics, dsl_executor.rb:79-87; default tag name
+follows grok's ``_grokparsefailure`` convention) and routed to the
+quarantine sink instead of being dropped.
+
+Scale notes: everything here is native ``regexp_extract`` inside
+whole-stage codegen — no Python on the hot path. Java regex covers
+grok's expressiveness (named groups, lookarounds); multi-pattern
+first-match grok is a ``coalesce`` of extracts, still JVM-side. A
+pandas-UDF escape hatch exists for genuinely non-regular parses but is
+deliberately NOT used for the standard doc_id shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logstash_filter_elasticsearch_spark.operators.enrich import tag_failures
+
+PARSE_FAILURE_TAG = "_grokparsefailure"
+
+# doc_id shape per FIXTURES.md F1: "{source}/{shard:04d}/{seq:012d}-{epoch}"
+DOC_ID_PATTERN = r"^([a-z][a-z0-9_]*)/(\d{4})/(\d{12})-(\d+)$"
+
+
+def extract_first(col: Column, patterns: list[str], group: int = 1) -> Column:
+    """Grok-style multi-pattern extraction: first pattern that matches wins.
+
+    ``coalesce`` over native extracts — stays in codegen, no UDF.
+    Spark's regexp_extract returns '' on no-match; normalize to NULL so
+    the first MATCHING pattern wins and failures are detectable.
+    """
+    return F.coalesce(
+        *[F.nullif(F.regexp_extract(col, p, group), F.lit("")) for p in patterns]
+    )
+
+
+def parse_doc_ids(df: DataFrame, doc_id_col: str = "doc_id") -> DataFrame:
+    """Extract (route_source, shard, seq, epoch, join_key) from doc_id.
+
+    join_key = "{source}/{shard}" — the key the enrichment lookup
+    snapshot is organized by (replaces per-event query interpolation,
+    dsl_executor.rb:31,37). Malformed rows get parse_ok=False and the
+    failure tag; they keep flowing (left-through semantics,
+    dsl_executor.rb:79-87).
+    """
+    c = F.col(doc_id_col)
+    out = (
+        df.withColumn("route_source", F.nullif(F.regexp_extract(c, DOC_ID_PATTERN, 1), F.lit("")))
+        .withColumn("shard", F.nullif(F.regexp_extract(c, DOC_ID_PATTERN, 2), F.lit("")))
+        .withColumn(
+            "seq",
+            F.nullif(F.regexp_extract(c, DOC_ID_PATTERN, 3), F.lit("")).cast("long"),
+        )
+        .withColumn(
+            "epoch",
+            F.nullif(F.regexp_extract(c, DOC_ID_PATTERN, 4), F.lit("")).cast("long"),
+        )
+    )
+    out = out.withColumn("parse_ok", F.col("route_source").isNotNull())
+    out = out.withColumn(
+        "join_key",
+        F.when(F.col("parse_ok"), F.concat_ws("/", "route_source", "shard")),
+    )
+    return tag_failures(out, ~F.col("parse_ok"), [PARSE_FAILURE_TAG])

@@ -1,0 +1,156 @@
+"""End-to-end pipeline tests vs a pure-Python/pyarrow oracle.
+
+Correctness gates from BASELINE.md: routed-row equality, per-row
+``tokens`` array equality, per-sink aggregate counts, quarantine
+semantics, idempotent checkpoint resume.
+"""
+
+import json
+import os
+import re
+import shutil
+
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+
+from logstash_filter_elasticsearch_spark.pipeline import (
+    PipelineConfig,
+    QUARANTINE_ROUTE,
+    run_pipeline,
+)
+
+DOC_ID_RE = re.compile(r"^([a-z][a-z0-9_]*)/(\d{4})/(\d{12})-(\d+)$")
+
+
+def python_oracle(seq_dir):
+    """Route + aggregate expectation computed without Spark."""
+    tbl = pads.dataset(seq_dir).to_table().to_pylist()
+    per_route = {}
+    rows_by_doc = {}
+    for r in tbl:
+        m = DOC_ID_RE.match(r["doc_id"])
+        route = m.group(1) if m else QUARANTINE_ROUTE
+        agg = per_route.setdefault(route, {"rows": 0, "sum_n_tok": 0})
+        agg["rows"] += 1
+        agg["sum_n_tok"] += r["n_tok"]
+        rows_by_doc[r["doc_id"]] = (route, r["tokens"])
+    return per_route, rows_by_doc
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(spark, seq_data, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe_out"))
+    cfg = PipelineConfig(
+        sequences_path=seq_data["seq_dir"],
+        lookup_path=seq_data["lookup"],
+        out_dir=out,
+    )
+    metrics = run_pipeline(spark, cfg)
+    return cfg, metrics
+
+
+def test_per_sink_aggregates_match_oracle(pipeline_run, seq_data):
+    cfg, metrics = pipeline_run
+    expected, _ = python_oracle(seq_data["seq_dir"])
+    assert set(metrics["routes"]) == set(expected)
+    for route, exp in expected.items():
+        got = metrics["routes"][route]
+        assert got["rows"] == exp["rows"], route
+        assert got["sum_n_tok"] == exp["sum_n_tok"], route
+
+
+def test_routed_rows_and_token_equality(pipeline_run, seq_data):
+    """Every input row lands in exactly its route's sink with its exact
+    token array (per-row token-array equality invariant)."""
+    cfg, _ = pipeline_run
+    _, expected_rows = python_oracle(seq_data["seq_dir"])
+    seen = {}
+    sinks = os.path.join(cfg.out_dir, "sinks")
+    for route_dir in os.listdir(sinks):
+        route = route_dir.split("=", 1)[1]
+        t = pads.dataset(os.path.join(sinks, route_dir)).to_table(
+            columns=["doc_id", "tokens"]
+        )
+        for r in t.to_pylist():
+            seen[r["doc_id"]] = (route, r["tokens"])
+    assert seen == expected_rows
+
+
+def test_quarantine_semantics(pipeline_run):
+    """Malformed doc_ids are tagged + quarantined, never dropped
+    (dsl_executor.rb:79-87 tag_on_failure)."""
+    cfg, metrics = pipeline_run
+    qdir = os.path.join(cfg.out_dir, "sinks", f"route={QUARANTINE_ROUTE}")
+    assert os.path.exists(qdir)
+    t = pads.dataset(qdir).to_table().to_pylist()
+    assert len(t) == metrics["routes"][QUARANTINE_ROUTE]["rows"]
+    assert all("_grokparsefailure" in r["tags"] for r in t)
+    assert all(not r["parse_ok"] for r in t)
+    assert all(not r["matched"] for r in t)
+
+
+def test_enrichment_matched_rows(pipeline_run, spark, seq_data):
+    """matched_rows per sink equals a direct Spark oracle join."""
+    cfg, metrics = pipeline_run
+    lookup_keys = {
+        r["join_key"]
+        for r in pq.read_table(seq_data["lookup"], columns=["join_key"]).to_pylist()
+    }
+    _, rows = python_oracle(seq_data["seq_dir"])
+    exp = {}
+    for doc_id, (route, _) in rows.items():
+        m = DOC_ID_RE.match(doc_id)
+        key = f"{m.group(1)}/{m.group(2)}" if m else None
+        exp[route] = exp.get(route, 0) + (1 if key in lookup_keys else 0)
+    for route, n in exp.items():
+        assert metrics["routes"][route]["matched_rows"] == n, route
+
+
+def test_idempotent_resume(spark, seq_data, tmp_path_factory):
+    """Kill-and-resume: partially committed manifest -> resume commits
+    only missing sinks; final state identical to a clean run."""
+    out = str(tmp_path_factory.mktemp("pipe_resume"))
+    cfg = PipelineConfig(
+        sequences_path=seq_data["seq_dir"], lookup_path=seq_data["lookup"], out_dir=out
+    )
+    m1 = run_pipeline(spark, cfg)
+    manifest_path = os.path.join(out, "_MANIFEST.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+
+    # simulate a crash that lost two sinks after commit of the rest
+    lost = sorted(manifest["routes"])[:2]
+    for route in lost:
+        del manifest["routes"][route]
+        shutil.rmtree(os.path.join(out, "sinks", f"route={route}"))
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f)
+
+    m2 = run_pipeline(spark, cfg)
+    # only the lost routes were rewritten
+    assert set(m2["skipped_previously_committed"]) == set(m1["routes"]) - set(lost)
+    assert set(m2["committed"]) == set(m1["routes"])
+    # sinks byte-stable row content: counts match the aggregates again
+    expected, _ = python_oracle(seq_data["seq_dir"])
+    for route in lost:
+        t = pads.dataset(os.path.join(out, "sinks", f"route={route}")).to_table()
+        assert t.num_rows == expected[route]["rows"]
+
+    # third run: everything skipped, nothing rewritten
+    m3 = run_pipeline(spark, cfg)
+    assert m3["skipped_previously_committed"] == sorted(expected)
+
+
+def test_no_python_udf_in_plan(spark, seq_data):
+    """North rule: zero per-row Python — the plan must contain no
+    BatchEvalPython/ArrowEvalPython nodes (BASELINE.json:6)."""
+    from logstash_filter_elasticsearch_spark.pipeline import build_enriched
+
+    cfg = PipelineConfig(
+        sequences_path=seq_data["seq_dir"], lookup_path=seq_data["lookup"], out_dir="/tmp/x"
+    )
+    plan = build_enriched(spark, cfg)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
