@@ -1,0 +1,262 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's scope (it enriches; it never dedups), but the
+LRU-style dedup required by the graft north star (BASELINE.json:6) and
+standard web-scale corpus hygiene both land here. Every operator is a
+pure DataFrame program designed for the 100 TB shape:
+
+* exact/normalized dedup: group on a 128-bit content hash, never on the
+  raw text — the shuffle moves 16-byte keys, not documents.
+* MinHash + LSH: shingle -> per-permutation xxhash64 min -> band
+  buckets -> candidate join -> exact-Jaccard verify. The candidate join
+  is on (band_idx, band_hash) so only near-duplicates ever meet; the
+  full O(N^2) pair space is never materialized.
+* SimHash: 64-bit sign-sum fingerprint computed in one exploded
+  aggregate; near-dup candidates via 16-bit chunk blocking (Hamming
+  distance <= 3 guarantees a matching chunk by pigeonhole).
+* n-gram Jaccard: exact verify used standalone for small/medium sets.
+
+All hashing is seeded/deterministic (xxhash64 with fixed literal seeds)
+so results are reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """lowercase, strip punctuation, collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, normalized: bool = False
+) -> DataFrame:
+    """Keep the min-id row per distinct content; count duplicates.
+
+    Groups on md5(content), not content: at 10^12 rows the shuffle key
+    is 16 bytes/row regardless of document size.
+    """
+    content = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    return (
+        df.withColumn("_h", F.md5(content))
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("_h")
+    )
+
+
+def word_shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM-side)."""
+    words = F.split(F.trim(text_col), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram shingle sets.
+
+    Pair generation via an equi-join on shared shingles — i.e. only
+    pairs with non-zero intersection exist, and Catalyst shuffles on
+    the shingle hash. |A|,|B| ride along so Jaccard needs no second
+    join. Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_sh"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    sh = sh.join(F.broadcast(sizes), "_id")
+
+    a = sh.select(
+        F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"), F.col("_sh").alias("_sh")
+    )
+    b = sh.select(
+        F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b"), F.col("_sh").alias("_sh")
+    )
+    common = (
+        a.join(b, "_sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    jac = F.col("_common") / (F.col("sz_a") + F.col("sz_b") - F.col("_common"))
+    return (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 64, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature per document: num_perm seeded xxhash64 minima.
+
+    One pass, no explode: transform+array_min per permutation stays
+    inside codegen. Empty shingle sets get NULL minima (filtered).
+    """
+    shingles = word_shingles(F.col(text_col), shingle_n)
+
+    def perm_hash(seed: int):
+        # closure keeps the lambda single-arg (F.transform passes the
+        # array index to 2-arg lambdas, which would clobber the seed)
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = F.array(
+        *[F.array_min(F.transform(shingles, perm_hash(i))) for i in range(num_perm)]
+    )
+    return df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+
+    rows-per-band r = num_perm/bands; candidate prob ≈ 1-(1-s^r)^bands.
+    Candidates meet only inside (band, band_hash) buckets — the join
+    key is a 64-bit hash, so skew is bounded by true duplicate clusters
+    (AQE skew-join splits those).
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+
+    band_rows = sigs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("_sig")[b * r + j] for j in range(r)]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select("_id", "_band.band", "_band.bhash")
+
+    a = band_rows.select(F.col("_id").alias("id_a"), "band", "bhash")
+    b = band_rows.select(F.col("_id").alias("id_b"), "band", "bhash")
+    candidates = (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # exact verify on the candidate set only
+    docs = df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_n).alias("_sh"))
+    verified = (
+        candidates.join(docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
+        .join(docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sh_a", "_sh_b"))
+            / F.size(F.array_union("_sh_a", "_sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Explode words once; per bit, sum +1/-1 by that bit of the word
+    hash; sign -> fingerprint bit. 64 conditional sums in ONE grouped
+    aggregate — a single shuffle keyed by doc id.
+    """
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_w"),
+    ).withColumn("_h", F.xxhash64("_w", F.lit(42)))
+
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    agg = words.groupBy("_id").agg(*bit_sums)
+
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        bit_val = (1 << i) if i < 63 else -(1 << 63)  # bit 63 = int64 sign bit
+        fp = fp + F.when(F.col(f"_b{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select(F.col("_id").alias(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Blocking: split the 64-bit fingerprint into 4 chunks of 16 bits;
+    any pair within Hamming 3 shares at least one exact chunk
+    (pigeonhole), so candidates come from 4 cheap equi-joins, never a
+    cross join.
+    """
+    fps = simhash(df, id_col, text_col)
+    chunks = fps.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cval"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("_c"),
+    ).select("_id", "simhash", "_c.chunk", "_c.cval")
+
+    a = chunks.select(F.col("_id").alias("id_a"), F.col("simhash").alias("fp_a"), "chunk", "cval")
+    b = chunks.select(F.col("_id").alias("id_b"), F.col("simhash").alias("fp_b"), "chunk", "cval")
+    cands = (
+        a.join(b, ["chunk", "cval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,268 @@
+"""ES|QL-shaped query layer: the pipe language compiled to DataFrame plans.
+
+The reference POSTs ES|QL statements with named ``?placeholders`` to
+``/_query`` once per event (esql_executor.rb:46-63; client.rb:61-63) and
+maps the columnar response back onto the event (esql_executor.rb:65-110).
+Here the pipe pipeline compiles directly onto the DataFrame API —
+``FROM``→table scan, ``WHERE``→filter, ``STATS…BY``→groupBy().agg(),
+``SORT``→orderBy, ``LIMIT``→limit, ``KEEP``→select, ``DROP``→drop,
+``RENAME``→withColumnRenamed, ``EVAL``→withColumn — so Catalyst gets the
+whole logical plan (pushdown/pruning/fold) instead of a remote engine.
+
+Named-parameter validation reproduces elasticsearch.rb:462-481:
+placeholder grammar ``^[a-z_][a-z0-9_]*$``, and the placeholder set
+must exactly match the param set (missing/unused both raise).
+Static params fold to literals at plan time, the Spark analog of the
+reference's init-time static/referenced split (esql_executor.rb:19-22).
+
+Result→event mapping helpers reproduce esql_executor.rb:65-110:
+first-row-to-root (no target), all-rows-as-array-of-structs (target),
+dotted-key→nested struct, parent-shadows-child suppression, and the
+``[@metadata][total_values]`` count.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logstash_filter_elasticsearch_spark.functions.fieldref import (
+    mark_sub_elements,
+    nest_dotted,
+)
+
+# placeholder grammar, elasticsearch.rb:468-470
+_PLACEHOLDER_NAME = re.compile(r"^[a-z_][a-z0-9_]*$")
+_PLACEHOLDER = re.compile(r"\?([A-Za-z_][A-Za-z0-9_]*)")
+
+
+class EsqlValidationError(ValueError):
+    pass
+
+
+def validate_params(query: str, params: dict) -> None:
+    """Exact placeholder<->param matching (elasticsearch.rb:462-481)."""
+    placeholders = set(_PLACEHOLDER.findall(query))
+    for name in list(placeholders) + list(params):
+        if not _PLACEHOLDER_NAME.match(name):
+            raise EsqlValidationError(
+                f"Invalid placeholder name: {name!r} "
+                "(must match ^[a-z_][a-z0-9_]*$)"
+            )
+    missing = placeholders - set(params)
+    unused = set(params) - placeholders
+    if missing:
+        raise EsqlValidationError(f"Placeholders with no matching query_params: {sorted(missing)}")
+    if unused:
+        raise EsqlValidationError(f"query_params not used in the query: {sorted(unused)}")
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def _substitute(expr: str, params: dict) -> str:
+    return _PLACEHOLDER.sub(lambda m: _sql_literal(params[m.group(1)]), expr)
+
+
+def _translate_expr(expr: str) -> str:
+    """ES|QL expression -> Spark SQL expression.
+
+    The dialect subset used by the reference's specs maps nearly 1:1;
+    the notable differences are `==` for equality and `!=`.
+    """
+    out = re.sub(r"==", "=", expr)
+    out = re.sub(r"(?<![<>!=])=(?!=)", "=", out)  # keep single = as-is
+    return out
+
+
+def _split_pipes(query: str) -> list[str]:
+    """Split on top-level '|' respecting quoted strings."""
+    parts, buf, quote = [], [], None
+    for ch in query:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == "|":
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf).strip())
+    return [p for p in parts if p]
+
+
+def _split_commas(s: str) -> list[str]:
+    """Split on top-level commas (not inside parens or quotes)."""
+    parts, buf, depth, quote = [], [], 0, None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf).strip())
+    return parts
+
+
+def _resolve_from(
+    spark: SparkSession, spec: str, tables: dict[str, DataFrame] | None
+) -> DataFrame:
+    """FROM index[,index2][*]: comma-list + wildcard resolution (B1).
+
+    Mirrors the reference's index list semantics
+    (elasticsearch.rb:26-28; spec elasticsearch_dsl_spec.rb:83-98):
+    comma-separated names union; ``foo*`` wildcards match registered
+    tables; empty/``_all`` means every registered table.
+    """
+    names = [n.strip() for n in spec.split(",") if n.strip()]
+    registry = tables or {}
+
+    def lookup(name: str) -> list[DataFrame]:
+        if name in ("", "_all"):
+            if registry:
+                return list(registry.values())
+            raise EsqlValidationError("_all requires a table registry")
+        if "*" in name:
+            pat = re.compile("^" + re.escape(name).replace(r"\*", ".*") + "$")
+            hits = [df for t, df in registry.items() if pat.match(t)]
+            if not hits:
+                raise EsqlValidationError(f"No tables match wildcard {name!r}")
+            return hits
+        if name in registry:
+            return [registry[name]]
+        return [spark.table(name)]
+
+    dfs: list[DataFrame] = []
+    for n in names or ["_all"]:
+        dfs.extend(lookup(n))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def run_esql(
+    spark: SparkSession,
+    query: str,
+    params: dict | None = None,
+    tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Compile and run an ES|QL pipe statement as a DataFrame plan."""
+    params = params or {}
+    validate_params(query, params)
+    stages = _split_pipes(query)
+    if not stages or not stages[0].upper().startswith("FROM"):
+        raise EsqlValidationError("ES|QL statement must start with FROM")
+
+    df = _resolve_from(spark, stages[0][4:].strip(), tables)
+
+    for stage in stages[1:]:
+        m = re.match(r"^([A-Za-z_]+)\s*(.*)$", stage, re.S)
+        cmd, body = m.group(1).upper(), m.group(2).strip()
+        body = _substitute(body, params)
+
+        if cmd == "WHERE":
+            df = df.filter(F.expr(_translate_expr(body)))
+        elif cmd == "STATS":
+            by_cols: list[str] = []
+            mby = re.search(r"\bBY\b(.*)$", body, re.I | re.S)
+            if mby:
+                by_cols = [c.strip() for c in _split_commas(mby.group(1))]
+                body = body[: mby.start()].strip()
+            aggs = []
+            for item in _split_commas(body):
+                if "=" in item.split("(")[0]:
+                    name, expr = item.split("=", 1)
+                    aggs.append(F.expr(_translate_expr(expr.strip())).alias(name.strip()))
+                else:
+                    aggs.append(F.expr(_translate_expr(item)))
+            df = df.groupBy(*by_cols).agg(*aggs) if by_cols else df.agg(*aggs)
+        elif cmd == "SORT":
+            order = []
+            for item in _split_commas(body):
+                toks = item.split()
+                col = F.col(toks[0])
+                desc = len(toks) > 1 and toks[1].upper() == "DESC"
+                order.append(col.desc() if desc else col.asc())
+            df = df.orderBy(*order)
+        elif cmd == "LIMIT":
+            df = df.limit(int(body))
+        elif cmd == "KEEP":
+            df = df.select(*[c.strip() for c in _split_commas(body)])
+        elif cmd == "DROP":
+            df = df.drop(*[c.strip() for c in _split_commas(body)])
+        elif cmd == "RENAME":
+            for item in _split_commas(body):
+                old, new = re.split(r"\s+AS\s+", item, flags=re.I)
+                df = df.withColumnRenamed(old.strip(), new.strip())
+        elif cmd == "EVAL":
+            for item in _split_commas(body):
+                name, expr = item.split("=", 1)
+                df = df.withColumn(name.strip(), F.expr(_translate_expr(expr.strip())))
+        else:
+            raise EsqlValidationError(f"Unsupported ES|QL command: {cmd}")
+    return df
+
+
+# ---------- result -> event mapping (esql_executor.rb:65-110) ----------
+
+
+def with_total_values(df: DataFrame) -> DataFrame:
+    """[@metadata][total_values] = result row count (esql_executor.rb:79).
+
+    Window-free: a scalar count joined back via crossJoin of a 1-row
+    aggregate (broadcast; no shuffle of the result set).
+    """
+    total = df.agg(F.count(F.lit(1)).alias("_meta_total_values"))
+    return df.crossJoin(F.broadcast(total))
+
+
+def rows_to_target_array(df: DataFrame, target: str) -> DataFrame:
+    """All result rows -> single-row DF with an array of nested structs
+    under ``target`` (esql_executor.rb:88-101; spec
+    elasticsearch_esql_spec.rb:127-143). Dotted columns nest; shadowed
+    sub-elements are suppressed (esql_executor.rb:82-86,120-151)."""
+    struct_fields = nest_dotted(df.columns)
+    packed = df.select(F.struct(*struct_fields).alias("_row"))
+    return packed.agg(
+        F.collect_list("_row").alias(target), F.count(F.lit(1)).alias("_meta_total_values")
+    )
+
+
+def first_row_to_root(df: DataFrame, order_by: list | None = None) -> DataFrame:
+    """Only the FIRST row maps onto the event root when no target is set
+    (esql_executor.rb:102-108; docs/index.asciidoc:172-174). Explicit
+    ``order_by`` recommended — ES result order is server-defined."""
+    kept, _ = mark_sub_elements(df.columns)
+    total = df.agg(F.count(F.lit(1)).alias("_meta_total_values"))
+    first = df.orderBy(*order_by) if order_by else df
+    first = first.limit(1).select(*[F.col(f"`{c}`") for c in kept])
+    return first.crossJoin(F.broadcast(total))

@@ -1,0 +1,147 @@
+"""ES|QL layer tests mirroring the reference's esql specs.
+
+Fixture table from spec/filters/integration/elasticsearch_esql_spec.rb:16-25
+(FIXTURES.md F3): 6 docs, types a,a,b,b,c,t, count 1..5 + NULL.
+"""
+
+import pytest
+
+from logstash_filter_elasticsearch_spark.functions.fieldref import (
+    field_ref_to_path,
+    mark_sub_elements,
+    sprintf_expr,
+)
+from logstash_filter_elasticsearch_spark.plans.esql import (
+    EsqlValidationError,
+    first_row_to_root,
+    rows_to_target_array,
+    run_esql,
+    validate_params,
+    with_total_values,
+)
+
+
+@pytest.fixture(scope="module")
+def esql_docs(spark):
+    df = spark.createDataFrame(
+        [
+            ("test message 1", "a", 3),
+            ("test message 2", "a", 5),
+            ("test message 3", "b", 1),
+            ("test message 4", "b", 2),
+            ("test message 5", "c", 4),
+            ("odd test message", "t", None),
+        ],
+        "message string, type string, count int",
+    )
+    return {"my_index": df}
+
+
+def test_where_eq(spark, esql_docs):
+    """WHERE type=='b' -> 2 rows (integration esql spec:123-129)."""
+    out = run_esql(spark, "FROM my_index | WHERE type == 'b'", tables=esql_docs)
+    assert out.count() == 2
+
+
+def test_stats_count_by(spark, esql_docs):
+    """STATS count() BY type (spec elasticsearch_esql_spec.rb:12-13)."""
+    out = run_esql(
+        spark,
+        "FROM my_index | STATS cnt = count(*) BY type | SORT type",
+        tables=esql_docs,
+    )
+    assert [(r["type"], r["cnt"]) for r in out.collect()] == [
+        ("a", 2), ("b", 2), ("c", 1), ("t", 1),
+    ]
+
+
+def test_named_params_and_validation(spark, esql_docs):
+    """?placeholders resolve; grammar + exact matching enforced
+    (elasticsearch.rb:462-481; spec elasticsearch_esql_spec.rb:179-209)."""
+    out = run_esql(
+        spark,
+        "FROM my_index | WHERE type == ?type_filter AND count >= ?min",
+        params={"type_filter": "a", "min": 4},
+        tables=esql_docs,
+    )
+    assert [r["message"] for r in out.collect()] == ["test message 2"]
+
+    with pytest.raises(EsqlValidationError, match="no matching query_params"):
+        validate_params("FROM x | WHERE a == ?missing", {})
+    with pytest.raises(EsqlValidationError, match="not used"):
+        validate_params("FROM x", {"unused": 1})
+    with pytest.raises(EsqlValidationError, match="Invalid placeholder"):
+        validate_params("FROM x | WHERE a == ?Bad_Name", {"Bad_Name": 1})
+
+
+def test_keep_drop_rename_eval_limit(spark, esql_docs):
+    out = run_esql(
+        spark,
+        "FROM my_index | EVAL double_count = count * 2 "
+        "| RENAME message AS msg | DROP type | KEEP msg, double_count "
+        "| SORT double_count DESC | LIMIT 2",
+        tables=esql_docs,
+    )
+    rows = out.collect()
+    assert out.columns == ["msg", "double_count"]
+    assert [r["double_count"] for r in rows] == [10, 8]
+
+
+def test_from_wildcard_and_union(spark, esql_docs):
+    """Comma-list + wildcard index resolution (B1;
+    spec elasticsearch_dsl_spec.rb:83-98)."""
+    tables = {"logs_a": esql_docs["my_index"], "logs_b": esql_docs["my_index"]}
+    assert run_esql(spark, "FROM logs_*", tables=tables).count() == 12
+    assert run_esql(spark, "FROM logs_a, logs_b", tables=tables).count() == 12
+    with pytest.raises(EsqlValidationError, match="wildcard"):
+        run_esql(spark, "FROM nope_*", tables=tables)
+
+
+def test_first_row_to_root_drops_shadowed(spark):
+    """No target: first row only; sub-elements suppressed
+    (esql_executor.rb:82-108; docs/index.asciidoc:198-223)."""
+    df = spark.createDataFrame(
+        [(1, "ok", 100), (2, "ko", 200)], ["id", "status", "`status.code`"]
+    ).toDF("id", "status", "status.code")
+    out = first_row_to_root(df, order_by=["id"])
+    row = out.collect()[0]
+    assert "status.code" not in out.columns  # shadowed by parent 'status'
+    assert row["id"] == 1 and row["status"] == "ok"
+    assert row["_meta_total_values"] == 2
+
+
+def test_rows_to_target_array_nested(spark):
+    """With target: ALL rows as array of nested structs
+    (esql_executor.rb:88-101; spec elasticsearch_esql_spec.rb:127-143)."""
+    df = spark.createDataFrame([(1, 100, "a"), (2, 200, "b")], ["id", "c1", "c2"]).toDF(
+        "id", "status.code", "status.desc"
+    )
+    out = rows_to_target_array(df.orderBy("id"), "esql_result")
+    row = out.collect()[0]
+    assert row["_meta_total_values"] == 2
+    vals = sorted((r["id"], r["status"]["code"], r["status"]["desc"]) for r in row["esql_result"])
+    assert vals == [(1, 100, "a"), (2, 200, "b")]
+
+
+def test_total_values_metadata(spark, esql_docs):
+    out = with_total_values(esql_docs["my_index"])
+    assert out.select("_meta_total_values").distinct().collect()[0][0] == 6
+
+
+def test_fieldref_helpers():
+    assert field_ref_to_path("[geoip][ip]") == "geoip.ip"
+    assert field_ref_to_path("plain") == "plain"
+    kept, suppressed = mark_sub_elements(["a", "a.b", "a.b.c", "x.y"])
+    assert kept == ["a", "x.y"]
+    assert suppressed == ["a.b", "a.b.c"]
+
+
+def test_sprintf_interpolation(spark):
+    """%{[field]} index interpolation (dsl_executor.rb:31;
+    spec elasticsearch_dsl_spec.rb:221-242); NULL -> literal token."""
+    df = spark.createDataFrame(
+        [("web", "en"), ("books", None)], "source string, lang string"
+    )
+    out = df.select(sprintf_expr("logs-%{[source]}-%{[lang]}").alias("idx")).collect()
+    assert out[0]["idx"] == "logs-web-en"
+    assert out[1]["idx"] == "logs-books-%{[lang]}"
