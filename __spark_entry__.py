@@ -1,38 +1,633 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship enrichment on sf0.001;
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus
+the training-data ops) to a (spark, sf_dir) callable; ``oracle_sql()``
+provides the DuckDB-equivalent SQL for the correctness gate. Column
+names/aliases are kept identical on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from logstash_filter_elasticsearch_spark.functions.fieldref import sprintf_expr
+from logstash_filter_elasticsearch_spark.operators.aggregate import (
+    salted_agg,
+    salted_dedup_first,
+)
+from logstash_filter_elasticsearch_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    normalize_text,
+    simhash,
+)
+from logstash_filter_elasticsearch_spark.operators.enrich import EnrichSpec, Enricher
+from logstash_filter_elasticsearch_spark.operators.similarity import cosine_topk, lsh_topk
+from logstash_filter_elasticsearch_spark.operators.text import (
+    BPE_ISH,
+    LANG_MARKERS,
+    STOPWORDS,
+    lang_id,
+    quality_features,
+)
+from logstash_filter_elasticsearch_spark.plans.esql import run_esql
+
+STOP_LIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------- queries
+
+def q_enrich_left_join(spark, sf_dir):
+    """A3/B11 flagship: per-event lookup as broadcast left join.
+
+    The reference's docs example shape ("find the matching doc, copy
+    fields", docs/index.asciidoc:36-53): enrich events with customer
+    fields; unmatched events pass through (elasticsearch_dsl_spec.rb:180-199).
+    """
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    spec = EnrichSpec(
+        event_key="user_id",
+        lookup_key="c_custkey",
+        fields={"c_name": "customer_name", "c_mktsegment": "segment"},
+        result_size=1,
+        sort=[("c_name", "asc")],
+    )
+    out = Enricher(spec).apply(events, customer)
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.element_at("customer_name", 1).alias("customer_name"),
+        F.element_at("segment", 1).alias("segment"),
+        "matched",
+        F.col("_meta_total_hits").alias("total_hits"),
+    )
+
+
+def q_fields_multi_hit(spark, sf_dir):
+    """A6 multi-hit: scalar-vs-array rule over orders per user
+    (dsl_executor.rb:58; spec elasticsearch_dsl_spec.rb:100-119)."""
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    spec = EnrichSpec(
+        event_key="user_id",
+        lookup_key="o_custkey",
+        fields={"o_orderkey": "top_orderkeys"},
+        result_size=3,
+        sort=[("o_totalprice", "desc"), ("o_orderkey", "asc")],
+    )
+    out = Enricher(spec).apply(events, orders)
+    return out.select(
+        "event_id",
+        F.col("_meta_total_hits").alias("n_hits"),
+        F.to_json("top_orderkeys").alias("top_orderkeys_json"),
+        F.element_at("top_orderkeys", 1).alias("top_orderkey"),
+    )
+
+
+def q_docinfo_latest(spark, sf_dir):
+    """A7 + B4/B5 defaults: top-1 hit by sort desc, docinfo copy
+    (dsl_executor.rb:61-68; default sort elasticsearch.rb:43-44)."""
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "_id", F.col("o_orderkey")
+    )
+    spec = EnrichSpec(
+        event_key="user_id",
+        lookup_key="o_custkey",
+        docinfo_fields={"_id": "document_id"},
+        fields={"o_orderstatus": "order_status"},
+        result_size=1,
+        sort=[("o_orderdate", "desc"), ("o_orderkey", "desc")],
+    )
+    out = Enricher(spec).apply(events, orders)
+    return out.select(
+        "event_id",
+        F.element_at("document_id", 1).alias("document_id"),
+        F.element_at("order_status", 1).alias("order_status"),
+    )
+
+
+def q_total_hits(spark, sf_dir):
+    """A5: [@metadata][total_hits] per event (dsl_executor.rb:48,99-107)."""
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    spec = EnrichSpec(event_key="user_id", lookup_key="o_custkey", result_size=0)
+    out = Enricher(spec).apply(events, orders)
+    return out.select("event_id", F.col("_meta_total_hits").alias("total_hits"))
+
+
+def q_aggregation_fields(spark, sf_dir):
+    """A8/B7: named aggregations copied per event
+    (dsl_executor.rb:71-77; fixture request_size0_agg.json)."""
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    spec = EnrichSpec(
+        event_key="user_id",
+        lookup_key="o_custkey",
+        aggregation_fields={
+            "order_total": ("sum", "o_totalprice"),
+            "order_max": ("max", "o_totalprice"),
+        },
+        result_size=0,
+    )
+    out = Enricher(spec).apply(events, orders)
+    return out.select(
+        "event_id",
+        F.round("order_total", 2).alias("order_total"),
+        "order_max",
+        "matched",
+    )
+
+
+def q_matched_decoration(spark, sf_dir):
+    """A12: decoration (add_tag) only for matched events
+    (elasticsearch.rb:218-221; spec elasticsearch_dsl_spec.rb:137-155)."""
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    spec = EnrichSpec(
+        event_key="user_id",
+        lookup_key="c_custkey",
+        fields={"c_name": "customer_name"},
+        result_size=1,
+        sort=[("c_name", "asc")],
+        add_tag_on_match=["matched_customer"],
+    )
+    out = Enricher(spec).apply(events, customer)
+    return out.select(
+        "event_id",
+        "matched",
+        F.coalesce(F.to_json("tags"), F.lit("[]")).alias("tags_json"),
+    )
+
+
+def q_quarantine_parse(spark, sf_dir):
+    """A11/A1: regex parse with tag_on_failure quarantine routing
+    (dsl_executor.rb:79-87). Docs lacking 'key' get the failure tag."""
+    from logstash_filter_elasticsearch_spark.operators.enrich import tag_failures
+    from logstash_filter_elasticsearch_spark.operators.parse import extract_first
+
+    docs = _t(spark, sf_dir, "documents")
+    parsed = docs.withColumn(
+        "key_word", extract_first(F.col("text"), [r"\bkey (\w+)"])
+    )
+    tagged = tag_failures(parsed, F.col("key_word").isNull(), ["_grokparsefailure"])
+    return tagged.select(
+        "doc_id", "key_word", F.to_json("tags").alias("tags_json")
+    )
+
+
+def q_sprintf_index(spark, sf_dir):
+    """A1: %{[field]} index-name interpolation (dsl_executor.rb:31)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", sprintf_expr("logs-%{[source]}-%{[lang]}").alias("idx")
+    )
+
+
+def q_query_string_filter(spark, sf_dir):
+    """B2: query_string equality+range predicate (docs/index.asciidoc:40)."""
+    events = _t(spark, sf_dir, "events")
+    return events.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 100)
+    ).select("event_id", "user_id", "value")
+
+
+def q_terms_membership(spark, sf_dir):
+    """B3: terms membership (fixture query_template_unicode.json:2-6)."""
+    events = _t(spark, sf_dir, "events")
+    return events.filter(F.col("event_type").isin("error", "signup")).select(
+        "event_id", "event_type"
+    )
+
+
+def q_topk_per_key(spark, sf_dir):
+    """B5: per-key top-k (result_size) via window row_number."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+def q_esql_stats_by(spark, sf_dir):
+    """A14/B8: ES|QL STATS ... BY (spec elasticsearch_esql_spec.rb:12-13)."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    return run_esql(
+        spark,
+        "FROM events | STATS cnt = count(*), total_value = round(sum(value), 2) "
+        "BY event_type | SORT event_type",
+        tables=tables,
+    )
+
+
+def q_esql_where_sort_limit(spark, sf_dir):
+    """A13/B9: ES|QL WHERE with named params + SORT/LIMIT/KEEP."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    return run_esql(
+        spark,
+        "FROM events | WHERE value >= ?min AND event_type == ?etype "
+        "| SORT value DESC, event_id | LIMIT 10 | KEEP event_id, event_type, value",
+        params={"min": 150, "etype": "purchase"},
+        tables=tables,
+    )
+
+
+def q_esql_eval_rename(spark, sf_dir):
+    """B10: EVAL/RENAME/DROP/KEEP column ops (docs/index.asciidoc:203-223)."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    return run_esql(
+        spark,
+        "FROM events | EVAL value_cents = cast(round(value * 100, 0) as long) "
+        "| RENAME event_type AS etype | DROP props | WHERE user_id < 50 "
+        "| KEEP event_id, etype, value_cents | SORT event_id | LIMIT 100",
+        tables=tables,
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content (training-data op)."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+def q_dedup_normalized(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id", normalized=True)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (shingle equi-join, no cross join)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_salted_route_agg(spark, sf_dir):
+    """Salted two-phase per-sink aggregate == plain groupBy (skew-proof)."""
+    docs = _t(spark, sf_dir, "documents")
+    return salted_agg(
+        docs,
+        ["source"],
+        {"n_docs": ("count", "doc_id"), "sum_chars": ("sum", "n_chars")},
+        salt_buckets=16,
+        salt_on="doc_id",
+    )
+
+
+def q_dedup_latest_event(spark, sf_dir):
+    """LRU-style 'latest wins' dedup per user via salted two-phase min_by."""
+    events = _t(spark, sf_dir, "events")
+    latest = salted_dedup_first(
+        events,
+        "user_id",
+        [
+            (-F.unix_micros(F.col("ts").cast("timestamp"))).alias("_neg_ts"),
+            F.col("event_id"),
+        ],
+        salt_buckets=8,
+    )
+    return latest.select("user_id", "event_id", "event_type")
+
+
+def q_quality_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_features(docs, "text")
+    return out.select(
+        "doc_id", "n_words", "n_stopwords", "stopword_ratio", "quality_score"
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return lang_id(docs, "text").select("doc_id", "lang_pred")
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH), 0)).alias("bpe_tokens"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fingerprint")
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column plumbing: encode->binary, native byte metadata."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha"),
+    )
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 5).alias("cos")
+    )
+
+
+# ---- rows-only queries (no SQL-expressible oracle: seeded xxhash64 / planes)
+
+def q_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text")
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries, k=5, dim=64, n_planes=10, n_tables=6)
+
+
+# ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_enrich_left_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "enrich_left_join": q_enrich_left_join,
+        "fields_multi_hit": q_fields_multi_hit,
+        "docinfo_latest": q_docinfo_latest,
+        "total_hits": q_total_hits,
+        "aggregation_fields": q_aggregation_fields,
+        "matched_decoration": q_matched_decoration,
+        "quarantine_parse": q_quarantine_parse,
+        "sprintf_index": q_sprintf_index,
+        "query_string_filter": q_query_string_filter,
+        "terms_membership": q_terms_membership,
+        "topk_per_key": q_topk_per_key,
+        "esql_stats_by": q_esql_stats_by,
+        "esql_where_sort_limit": q_esql_where_sort_limit,
+        "esql_eval_rename": q_esql_eval_rename,
+        "dedup_exact": q_dedup_exact,
+        "dedup_normalized": q_dedup_normalized,
+        "ngram_jaccard": q_ngram_jaccard,
+        "salted_route_agg": q_salted_route_agg,
+        "dedup_latest_event": q_dedup_latest_event,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "embedding_topk": q_embedding_topk,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ann_lsh": q_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = STOP_LIST_SQL
+    lang_scores = {
+        lang: " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in words
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    }
+    lang_best = "greatest(" + ", ".join(f"({s})" for s in lang_scores.values()) + ")"
+    lang_pred = "CASE WHEN " + lang_best + " = 0 THEN 'und' "
+    for lang in sorted(LANG_MARKERS):
+        lang_pred += f"WHEN ({lang_scores[lang]}) = {lang_best} THEN '{lang}' "
+    lang_pred += "ELSE 'und' END"
+
+    return {
+        "enrich_left_join": """
+            SELECT e.event_id, e.user_id, e.event_type,
+                   c.c_name AS customer_name, c.c_mktsegment AS segment,
+                   (c.c_custkey IS NOT NULL) AS matched,
+                   CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END AS total_hits
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "fields_multi_hit": """
+            WITH g AS (
+              SELECT o_custkey,
+                     count(*) AS n,
+                     list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey)[1:3] AS keys
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT e.event_id,
+                   coalesce(g.n, 0) AS n_hits,
+                   CASE WHEN g.o_custkey IS NULL THEN NULL
+                        ELSE '[' || array_to_string(g.keys, ',') || ']' END AS top_orderkeys_json,
+                   g.keys[1] AS top_orderkey
+            FROM events e LEFT JOIN g ON e.user_id = g.o_custkey
+        """,
+        "docinfo_latest": """
+            WITH ranked AS (
+              SELECT o_custkey, o_orderkey, o_orderstatus,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders
+            )
+            SELECT e.event_id, r.o_orderkey AS document_id,
+                   r.o_orderstatus AS order_status
+            FROM events e LEFT JOIN ranked r
+              ON e.user_id = r.o_custkey AND r.rn = 1
+        """,
+        "total_hits": """
+            SELECT e.event_id, coalesce(g.n, 0) AS total_hits
+            FROM events e LEFT JOIN (
+              SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+            ) g ON e.user_id = g.o_custkey
+        """,
+        "aggregation_fields": """
+            SELECT e.event_id,
+                   round(g.s, 2) AS order_total,
+                   g.m AS order_max,
+                   (g.o_custkey IS NOT NULL) AS matched
+            FROM events e LEFT JOIN (
+              SELECT o_custkey, sum(o_totalprice) AS s, max(o_totalprice) AS m
+              FROM orders GROUP BY o_custkey
+            ) g ON e.user_id = g.o_custkey
+        """,
+        "matched_decoration": """
+            SELECT e.event_id,
+                   (c.c_custkey IS NOT NULL) AS matched,
+                   CASE WHEN c.c_custkey IS NOT NULL
+                        THEN '["matched_customer"]' ELSE '[]' END AS tags_json
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "quarantine_parse": r"""
+            SELECT doc_id,
+                   nullif(regexp_extract(text, '\bkey (\w+)', 1), '') AS key_word,
+                   CASE WHEN nullif(regexp_extract(text, '\bkey (\w+)', 1), '') IS NULL
+                        THEN '["_grokparsefailure"]' ELSE '[]' END AS tags_json
+            FROM documents
+        """,
+        "sprintf_index": """
+            SELECT doc_id, 'logs-' || source || '-' || lang AS idx FROM documents
+        """,
+        "query_string_filter": """
+            SELECT event_id, user_id, value FROM events
+            WHERE event_type = 'purchase' AND value > 100
+        """,
+        "terms_membership": """
+            SELECT event_id, event_type FROM events
+            WHERE event_type IN ('error', 'signup')
+        """,
+        "topk_per_key": """
+            SELECT o_custkey, o_orderkey, rank FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders
+            ) WHERE rank <= 3
+        """,
+        "esql_stats_by": """
+            SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "esql_where_sort_limit": """
+            SELECT event_id, event_type, value FROM events
+            WHERE value >= 150 AND event_type = 'purchase'
+            ORDER BY value DESC, event_id LIMIT 10
+        """,
+        "esql_eval_rename": """
+            SELECT event_id, event_type AS etype,
+                   cast(round(value * 100, 0) AS bigint) AS value_cents
+            FROM events WHERE user_id < 50 ORDER BY event_id LIMIT 100
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_normalized": r"""
+            SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents
+            GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
+        """,
+        "ngram_jaccard": r"""
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents
+            ), shingled AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 1)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS sh
+              FROM words
+            ), exploded AS (
+              SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM shingled
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+              FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b,
+                   round(common / (sz_a + sz_b - common), 6) AS jaccard
+            FROM pairs
+            WHERE common / (sz_a + sz_b - common) >= 0.5
+        """,
+        "salted_route_agg": """
+            SELECT source, count(doc_id) AS n_docs, sum(n_chars) AS sum_chars
+            FROM documents GROUP BY source
+        """,
+        "dedup_latest_event": """
+            SELECT user_id, event_id, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "quality_scores": rf"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+                     len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         w -> lower(w) IN ({stop_list}))) AS n_stop,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+              FROM documents
+            )
+            SELECT doc_id, n_words, n_stop AS n_stopwords,
+                   round(n_stop / n_words, 6) AS stopword_ratio,
+                   round(0.4 * round(n_stop / n_words, 6)
+                       + 0.3 * (1 - round(n_punct / greatest(n_chars, 1), 6))
+                       + 0.3 * least(1.0, n_words / 64.0), 6) AS quality_score
+            FROM f
+        """,
+        "lang_id": f"SELECT doc_id, {lang_pred} AS lang_pred FROM documents",
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+            FROM documents
+        """,
+        "fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS sha
+            FROM documents
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(cos, 5) AS cos
+            FROM ranked WHERE rank <= 5
+        """,
+        # minhash_lsh / simhash / ann_lsh: seeded xxhash64 & hyperplanes are
+        # not SQL-expressible in DuckDB -> rows-only checks; exactness is
+        # covered by tests/test_training_ops.py python oracles.
+    }
