@@ -55,13 +55,38 @@ def exact_dedup(
 
 
 def word_shingles(text_col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM-side)."""
+    """Distinct word n-gram shingles of a text column (JVM-side).
+
+    PERF WARNING: higher-order functions run interpreted (no codegen),
+    and a lambda that embeds the split() subtree re-evaluates it per
+    element — O(words^2) per row. Use this expression only over an
+    already-materialized words array, or go through
+    ``with_word_shingles`` which projects the split once.
+    """
     words = F.split(F.trim(text_col), r"\s+")
+    return _shingles_of_words(words, n)
+
+
+def _shingles_of_words(words: Column, n: int) -> Column:
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
         lambda i: F.array_join(F.slice(words, i, n), " "),
     )
     return F.array_distinct(grams)
+
+
+def with_word_shingles(
+    df: DataFrame, text_col: str, n: int = 3, out: str = "_sh"
+) -> DataFrame:
+    """Project words ONCE, then build shingles from the bound array.
+
+    Two projections on purpose: Catalyst's CollapseProject will not
+    inline a non-cheap producer (the regex split) that the consumer
+    references more than once, so the split is evaluated once per row
+    instead of once per lambda element.
+    """
+    step = df.withColumn("_words", F.split(F.trim(F.col(text_col)), r"\s+"))
+    return step.withColumn(out, _shingles_of_words(F.col("_words"), n)).drop("_words")
 
 
 def ngram_jaccard_pairs(
@@ -78,10 +103,9 @@ def ngram_jaccard_pairs(
     the shingle hash. |A|,|B| ride along so Jaccard needs no second
     join. Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("_sh"),
-    )
+    sh = with_word_shingles(
+        df.select(F.col(id_col).alias("_id"), text_col), text_col, n
+    ).select("_id", F.explode("_sh").alias("_sh"))
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     sh = sh.join(F.broadcast(sizes), "_id")
 
@@ -110,20 +134,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: num_perm seeded xxhash64 minima.
 
-    One pass, no explode: transform+array_min per permutation stays
-    inside codegen. Empty shingle sets get NULL minima (filtered).
+    Shape chosen for scale: explode shingles once, then ONE grouped
+    aggregate with num_perm min(xxhash64(shingle, seed_i)) columns —
+    every hash/min runs inside whole-stage codegen with map-side
+    partial aggregation, and the shuffle carries only (id, num_perm
+    longs). (A transform+array_min formulation keeps everything in one
+    row but runs interpreted — higher-order functions don't codegen —
+    and was ~100x slower on long documents.)
     """
-    shingles = word_shingles(F.col(text_col), shingle_n)
-
-    def perm_hash(seed: int):
-        # closure keeps the lambda single-arg (F.transform passes the
-        # array index to 2-arg lambdas, which would clobber the seed)
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    sig = F.array(
-        *[F.array_min(F.transform(shingles, perm_hash(i))) for i in range(num_perm)]
-    )
-    return df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    sh = with_word_shingles(
+        df.select(F.col(id_col).alias("_id"), text_col), text_col, shingle_n
+    ).select("_id", F.explode("_sh").alias("_s"))
+    mins = [
+        F.min(F.xxhash64("_s", F.lit(i))).alias(f"_m{i}") for i in range(num_perm)
+    ]
+    agg = sh.groupBy("_id").agg(*mins)
+    sig = F.array(*[F.col(f"_m{i}") for i in range(num_perm)])
+    return agg.select("_id", sig.alias("_sig"))
 
 
 def minhash_lsh_pairs(
@@ -173,7 +200,9 @@ def minhash_lsh_pairs(
     )
 
     # exact verify on the candidate set only
-    docs = df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_n).alias("_sh"))
+    docs = with_word_shingles(
+        df.select(F.col(id_col).alias("_id"), text_col), text_col, shingle_n
+    ).select("_id", "_sh")
     verified = (
         candidates.join(docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
         .join(docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")

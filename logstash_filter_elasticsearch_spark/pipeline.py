@@ -44,7 +44,9 @@ class PipelineConfig:
     sequences_path: str
     lookup_path: str
     out_dir: str
-    files_per_route: int = 4
+    # salt buckets per route in the fan-out write; with a 60%-skewed
+    # route this bounds the hottest write task at ~60%/N of the data
+    files_per_route: int = 32
     salt_buckets: int = 32
     # enrichment config (reference option names, elasticsearch.rb:59-161)
     fields: dict[str, str] = field(

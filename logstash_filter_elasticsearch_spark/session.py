@@ -47,6 +47,11 @@ def get_spark(
         # lookup snapshots are broadcast; be generous (driver has RAM)
         .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # sort-free dynamic-partition writes: without this, partitionBy
+        # inserts a per-task sort and (with many routes per task) holds
+        # one 128MB parquet buffer per open file — measured anti-scaling
+        # at 32 threads
+        .config("spark.sql.maxConcurrentOutputFileWriters", "16")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("LFES_DRIVER_MEM", "16g"))

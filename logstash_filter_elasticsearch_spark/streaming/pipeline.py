@@ -1,0 +1,113 @@
+"""Structured Streaming variant of the enrichment pipeline.
+
+The reference is a streaming filter — events flow one at a time
+through ``filter(event)`` (elasticsearch.rb:214-216). The batch
+pipeline is this engine's primary mode (the north rule is batch), but
+the same parse/enrich/route stages compose unchanged under
+``readStream``: stream-static broadcast joins are natively supported,
+and the fan-out + quarantine write runs in ``foreachBatch`` so each
+micro-batch reuses the exact batch writer (and its partitioned layout).
+
+Also included: a watermarked sliding-window per-source aggregate —
+the streaming analog of the per-sink aggregate sink — demonstrating
+late-data handling the reference delegates to Logstash itself.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logstash_filter_elasticsearch_spark.operators.enrich import EnrichSpec, Enricher
+from logstash_filter_elasticsearch_spark.operators.parse import parse_doc_ids
+from logstash_filter_elasticsearch_spark.pipeline import QUARANTINE_ROUTE
+
+
+def build_streaming_enriched(
+    spark: SparkSession,
+    sequences_path: str,
+    lookup_path: str,
+    schema=None,
+) -> DataFrame:
+    """readStream -> parse -> stream-static broadcast enrich -> route."""
+    if schema is None:
+        schema = spark.read.parquet(sequences_path).schema
+    stream = spark.readStream.schema(schema).parquet(sequences_path)
+    lookup = spark.read.parquet(lookup_path)  # static snapshot side
+
+    parsed = parse_doc_ids(stream)
+    spec = EnrichSpec(
+        event_key="join_key",
+        lookup_key="join_key",
+        fields={"payload.response": "resp_code"},
+        docinfo_fields={"_id": "es_doc_id"},
+        result_size=1,
+        sort=[("payload.timestamp_ms", "desc")],
+    )
+    enriched = Enricher(spec).apply(parsed, lookup)
+    return enriched.withColumn(
+        "route",
+        F.when(F.col("parse_ok"), F.col("route_source")).otherwise(
+            F.lit(QUARANTINE_ROUTE)
+        ),
+    )
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    sequences_path: str,
+    lookup_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Micro-batch fan-out writes via foreachBatch (exactly-once per
+    sink through the streaming checkpoint + idempotent overwrite of
+    batch-scoped directories)."""
+    enriched = build_streaming_enriched(spark, sequences_path, lookup_path)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.repartition(F.col("route"))
+            .write.mode("overwrite")
+            .partitionBy("route")
+            .parquet(os.path.join(out_dir, f"batch={batch_id}"))
+        )
+
+    writer = enriched.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_source_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "route_source",
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Watermarked (sliding) window counts per source — late rows beyond
+    the watermark are dropped, state is bounded."""
+    w = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("rows"), F.sum("n_tok").alias("sum_n_tok"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "rows",
+            "sum_n_tok",
+        )
+    )

@@ -1,0 +1,87 @@
+"""Streaming pipeline + config-validation tests."""
+
+import os
+
+import pyarrow.dataset as pads
+import pytest
+
+from logstash_filter_elasticsearch_spark.config import ConfigError, QueryConfig, check_tables
+from logstash_filter_elasticsearch_spark.streaming.pipeline import (
+    run_streaming_pipeline,
+    windowed_source_counts,
+)
+
+
+def test_streaming_fanout_matches_batch(spark, seq_data, tmp_path):
+    """availableNow stream over the same input: routed rows equal the
+    batch pipeline's totals; quarantine preserved."""
+    out = str(tmp_path / "stream_out")
+    q = run_streaming_pipeline(
+        spark,
+        seq_data["seq_dir"],
+        seq_data["lookup"],
+        out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    total = 0
+    quarantined = 0
+    for batch_dir in os.listdir(out):
+        ds = pads.dataset(os.path.join(out, batch_dir)).to_table(columns=["doc_id", "tags"])
+        total += ds.num_rows
+        quarantined += sum(
+            1 for t in ds.column("tags").to_pylist() if t and "_grokparsefailure" in t
+        )
+    assert total == 2000  # every input row delivered exactly once
+    assert quarantined > 0
+
+
+def test_windowed_counts_on_static(spark, seq_data):
+    """Window aggregation logic validated on a static frame (same plan
+    shape Structured Streaming executes incrementally)."""
+    from pyspark.sql import functions as F
+
+    from logstash_filter_elasticsearch_spark.operators.parse import parse_doc_ids
+
+    df = parse_doc_ids(spark.read.parquet(seq_data["seq_dir"])).withColumn(
+        "ts", F.to_timestamp(F.from_unixtime(F.col("epoch")))
+    ).filter(F.col("parse_ok"))
+    out = windowed_source_counts(df, ts_col="ts", key_col="route_source", window="1 hour")
+    rows = out.collect()
+    assert sum(r["rows"] for r in rows) == df.count()
+    assert all(r["window_end"] > r["window_start"] for r in rows)
+
+
+def test_query_config_validation():
+    QueryConfig(query_type="dsl", query="response:404").validate()
+    QueryConfig(query_type="esql", query="FROM t | WHERE a == ?x",
+                query_params={"x": 1}).validate()
+
+    with pytest.raises(ConfigError, match="only one"):
+        QueryConfig(query="a", query_template="b").validate()
+    with pytest.raises(ConfigError, match="Either query or"):
+        QueryConfig().validate()
+    with pytest.raises(ConfigError, match="empty"):
+        QueryConfig(query_template="   ").validate()
+    with pytest.raises(ConfigError, match="ES\\|QL-only"):
+        QueryConfig(query="a", query_params={"x": 1}).validate()
+    with pytest.raises(ConfigError, match="not allowed with ES"):
+        QueryConfig(query_type="esql", query="FROM t",
+                    dsl_params={"index": "foo"}).validate()
+    with pytest.raises(Exception, match="no matching query_params"):
+        QueryConfig(query_type="esql", query="FROM t | WHERE a == ?x").validate()
+
+
+def test_check_tables(spark, seq_data):
+    check_tables(
+        spark,
+        {"sequences": seq_data["seq_dir"], "lookup": seq_data["lookup"]},
+        required_cols={"sequences": ["doc_id", "tokens", "n_tok", "source"],
+                       "lookup": ["join_key", "payload"]},
+    )
+    with pytest.raises(ConfigError, match="unreadable"):
+        check_tables(spark, {"nope": "/nonexistent/path"})
+    with pytest.raises(ConfigError, match="missing columns"):
+        check_tables(spark, {"lookup": seq_data["lookup"]},
+                     required_cols={"lookup": ["not_a_column"]})
