@@ -360,6 +360,150 @@ def q_embedding_topk(spark, sf_dir):
     )
 
 
+def q_query_template_render(spark, sf_dir):
+    """A2 query_template (hash-join path): static term pushdown + event-ref
+    equality join, template size/sort override (dsl_executor.rb:33-35;
+    docs/index.asciidoc:85-103)."""
+    from logstash_filter_elasticsearch_spark.plans.template import enrich_with_template
+
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    out = enrich_with_template(
+        events,
+        orders,
+        {
+            "size": 1,
+            "sort": [{"o_totalprice": "desc"}, {"o_orderkey": "asc"}],
+            "query": {
+                "bool": {
+                    "filter": [
+                        {"term": {"o_orderstatus": "F"}},
+                        {"term": {"o_custkey": "%{[user_id]}"}},
+                    ]
+                }
+            },
+        },
+        fields={"o_orderkey": "top_key", "o_totalprice": "top_price"},
+    )
+    return out.select(
+        "event_id",
+        F.element_at("top_key", 1).alias("top_key"),
+        F.round(F.element_at("top_price", 1), 2).alias("top_price"),
+        "matched",
+    )
+
+
+def q_query_template_theta(spark, sf_dir):
+    """A2 theta path: per-event range predicate (different hit set per
+    event) -> broadcast theta join + regroup."""
+    from logstash_filter_elasticsearch_spark.plans.template import enrich_with_template
+
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    out = enrich_with_template(
+        events,
+        orders,
+        {
+            "size": 1,
+            "sort": [{"o_orderkey": "desc"}],
+            "query": {
+                "bool": {
+                    "must": [
+                        {"term": {"o_custkey": "%{[user_id]}"}},
+                        {"range": {"o_orderkey": {"lte": "%{[event_id]}"}}},
+                    ]
+                }
+            },
+        },
+        fields={"o_orderkey": "best_key"},
+        event_id="event_id",
+    )
+    return out.select(
+        "event_id",
+        F.element_at("best_key", 1).alias("best_key"),
+        F.col("_meta_total_hits").alias("n_hits"),
+    )
+
+
+def q_query_string_template(spark, sf_dir):
+    """B2 query_string grammar inside a template: equality + event ref +
+    bracket range (docs/index.asciidoc:36-53)."""
+    from logstash_filter_elasticsearch_spark.plans.template import enrich_with_template
+
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    out = enrich_with_template(
+        events,
+        orders,
+        {
+            "size": 2,
+            "sort": [{"o_totalprice": "desc"}, {"o_orderkey": "asc"}],
+            "query": {
+                "query_string": {
+                    "query": "o_orderstatus:F AND o_custkey:%{[user_id]} "
+                    "AND o_totalprice:[1000 TO 300000]",
+                    "default_operator": "AND",
+                }
+            },
+        },
+        fields={"o_totalprice": "prices"},
+    )
+    return out.select(
+        "event_id",
+        F.round(F.try_element_at("prices", F.lit(1)), 2).alias("p1"),
+        F.round(F.try_element_at("prices", F.lit(2)), 2).alias("p2"),
+        F.col("_meta_total_hits").alias("n_hits"),
+    )
+
+
+def q_esql_grok(spark, sf_dir):
+    """ES|QL GROK: pattern-library extraction with type coercion."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    return run_esql(
+        spark,
+        'FROM events | GROK props "%{INT:k:int}" '
+        "| KEEP event_id, k | SORT event_id",
+        tables=tables,
+    )
+
+
+def q_esql_dissect(spark, sf_dir):
+    """ES|QL DISSECT: literal-delimited extraction."""
+    tables = {"documents": _t(spark, sf_dir, "documents")}
+    return run_esql(
+        spark,
+        "FROM documents | EVAL sid = concat(source, '-', lang) "
+        '| DISSECT sid "%{s}-%{l}" | KEEP doc_id, s, l',
+        tables=tables,
+    )
+
+
+def q_esql_enrich(spark, sf_dir):
+    """ES|QL ENRICH: the per-event lookup spelled as a pipe command."""
+    tables = {
+        "events": _t(spark, sf_dir, "events"),
+        "customer": _t(spark, sf_dir, "customer"),
+    }
+    return run_esql(
+        spark,
+        "FROM events | EVAL c_custkey = user_id "
+        "| ENRICH customer ON c_custkey WITH c_name AS cust_name, c_mktsegment AS seg "
+        "| KEEP event_id, cust_name, seg",
+        tables=tables,
+    )
+
+
+def q_esql_mv_expand(spark, sf_dir):
+    """ES|QL MV_EXPAND: multivalued column -> one row per element."""
+    tables = {"documents": _t(spark, sf_dir, "documents")}
+    return run_esql(
+        spark,
+        "FROM documents | EVAL word = split(text, ' ') | MV_EXPAND word "
+        "| KEEP doc_id, word",
+        tables=tables,
+    )
+
+
 # ---- rows-only queries (no SQL-expressible oracle: seeded xxhash64 / planes)
 
 def q_minhash_lsh(spark, sf_dir):
@@ -401,6 +545,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_stats_by": q_esql_stats_by,
         "esql_where_sort_limit": q_esql_where_sort_limit,
         "esql_eval_rename": q_esql_eval_rename,
+        "query_template_render": q_query_template_render,
+        "query_template_theta": q_query_template_theta,
+        "query_string_template": q_query_string_template,
+        "esql_grok": q_esql_grok,
+        "esql_dissect": q_esql_dissect,
+        "esql_enrich": q_esql_enrich,
+        "esql_mv_expand": q_esql_mv_expand,
         "dedup_exact": q_dedup_exact,
         "dedup_normalized": q_dedup_normalized,
         "ngram_jaccard": q_ngram_jaccard,
@@ -528,6 +679,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type AS etype,
                    cast(round(value * 100, 0) AS bigint) AS value_cents
             FROM events WHERE user_id < 50 ORDER BY event_id LIMIT 100
+        """,
+        "query_template_render": """
+            WITH ranked AS (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders WHERE o_orderstatus = 'F'
+            )
+            SELECT e.event_id, r.o_orderkey AS top_key,
+                   round(r.o_totalprice, 2) AS top_price,
+                   (r.o_custkey IS NOT NULL) AS matched
+            FROM events e LEFT JOIN ranked r
+              ON e.user_id = r.o_custkey AND r.rn = 1
+        """,
+        "query_template_theta": """
+            WITH hits AS (
+              SELECT e.event_id,
+                     max(o.o_orderkey) AS best_key,
+                     count(*) AS n
+              FROM events e JOIN orders o
+                ON e.user_id = o.o_custkey AND o.o_orderkey <= e.event_id
+              GROUP BY e.event_id
+            )
+            SELECT e.event_id, h.best_key, coalesce(h.n, 0) AS n_hits
+            FROM events e LEFT JOIN hits h ON e.event_id = h.event_id
+        """,
+        "query_string_template": """
+            WITH ranked AS (
+              SELECT o_custkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+                     count(*) OVER (PARTITION BY o_custkey) AS n
+              FROM orders
+              WHERE o_orderstatus = 'F' AND o_totalprice BETWEEN 1000 AND 300000
+            )
+            SELECT e.event_id,
+                   round(r1.o_totalprice, 2) AS p1,
+                   round(r2.o_totalprice, 2) AS p2,
+                   coalesce(r1.n, 0) AS n_hits
+            FROM events e
+            LEFT JOIN ranked r1 ON e.user_id = r1.o_custkey AND r1.rn = 1
+            LEFT JOIN ranked r2 ON e.user_id = r2.o_custkey AND r2.rn = 2
+        """,
+        "esql_grok": r"""
+            SELECT event_id,
+                   CAST(regexp_extract(props, '[+-]?\d+') AS bigint) AS k
+            FROM events ORDER BY event_id
+        """,
+        "esql_dissect": """
+            SELECT doc_id, source AS s, lang AS l FROM documents
+        """,
+        "esql_enrich": """
+            SELECT e.event_id, c.c_name AS cust_name, c.c_mktsegment AS seg
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "esql_mv_expand": """
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -28,7 +28,8 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-BENCH_ROWS = int(os.environ.get("LFES_BENCH_ROWS", "2000000"))
+BENCH_ROWS = int(os.environ.get("LFES_BENCH_ROWS", "8000000"))
+BENCH_REPS = int(os.environ.get("LFES_BENCH_REPS", "3"))
 BENCH_DATA = os.path.join(REPO, ".bench_data", f"seq_{BENCH_ROWS}")
 
 HEADLINE = [
@@ -68,22 +69,35 @@ def ensure_bench_data() -> str:
 
 
 def pipeline_worker(cores: int, data_dir: str, out_dir: str) -> None:
-    """Subprocess entry: run the pipeline once at local[cores]."""
+    """Subprocess entry: run the pipeline at local[cores].
+
+    One full warm-up run (JIT + codegen compile + parquet footer cache),
+    then BENCH_REPS measured runs into fresh sink dirs, reporting the
+    best. This host shows 2-3x run-to-run noise (shared hypervisor);
+    best-of-N against a warmed JVM is the stable, comparable number.
+    """
     from logstash_filter_elasticsearch_spark.pipeline import PipelineConfig, run_pipeline
     from logstash_filter_elasticsearch_spark.session import get_spark
 
     spark = get_spark(app_name=f"bench-{cores}", cores=cores)
-    cfg = PipelineConfig(
-        sequences_path=os.path.join(data_dir, "sequences"),
-        lookup_path=os.path.join(data_dir, "lookup.parquet"),
-        out_dir=out_dir,
-    )
-    # warm the JVM/codegen with a tiny action before timing
-    spark.read.parquet(cfg.sequences_path).limit(10).count()
-    t0 = time.monotonic()
-    metrics = run_pipeline(spark, cfg)
-    dt = time.monotonic() - t0
-    print(json.dumps({"cores": cores, "seconds": dt, "rows": metrics["total_rows"]}))
+
+    def one_run(tag: str):
+        run_dir = os.path.join(out_dir, tag)
+        shutil.rmtree(run_dir, ignore_errors=True)
+        cfg = PipelineConfig(
+            sequences_path=os.path.join(data_dir, "sequences"),
+            lookup_path=os.path.join(data_dir, "lookup.parquet"),
+            out_dir=run_dir,
+        )
+        t0 = time.monotonic()
+        metrics = run_pipeline(spark, cfg)
+        dt = time.monotonic() - t0
+        shutil.rmtree(run_dir, ignore_errors=True)
+        return dt, metrics
+
+    one_run("warmup")
+    best, metrics = min((one_run(f"r{i}") for i in range(BENCH_REPS)), key=lambda x: x[0])
+    print(json.dumps({"cores": cores, "seconds": best, "rows": metrics["total_rows"]}))
     spark.stop()
 
 

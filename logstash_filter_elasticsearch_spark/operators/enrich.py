@@ -55,6 +55,32 @@ def _get(col: Column, path: str) -> Column:
     return reduce(lambda c, p: c[p], field_ref_to_path(path).split("."), col)
 
 
+def hits_comparator(sort_spec: list[tuple[str, str]]):
+    """array_sort comparator over hit structs from an ES-style sort spec
+    (``[("path", "desc"), ...]``; elasticsearch.rb:43-44,
+    docs/index.asciidoc:510-516). NULLs sort last for desc, first for
+    asc, matching ES missing-value defaults closely enough for the
+    snapshot lookup."""
+
+    def cmp(left: Column, right: Column) -> Column:
+        expr = F.lit(0)
+        # build innermost-first so earlier sort keys take precedence
+        for path, direction in reversed(sort_spec):
+            sign = -1 if direction.lower().startswith("d") else 1
+            lv, rv = _get(left, path), _get(right, path)
+            expr = (
+                F.when(lv.isNull() & rv.isNull(), expr)
+                .when(lv.isNull(), F.lit(-sign))
+                .when(rv.isNull(), F.lit(sign))
+                .when(lv < rv, F.lit(-sign))
+                .when(lv > rv, F.lit(sign))
+                .otherwise(expr)
+            )
+        return expr
+
+    return cmp
+
+
 @dataclass
 class EnrichSpec:
     """Declarative config mirroring the plugin's options (elasticsearch.rb:59-161)."""
@@ -99,25 +125,7 @@ class Enricher:
     def _sort_comparator(self):
         """array_sort comparator from the sort spec (default @timestamp:desc,
         elasticsearch.rb:43-44; docs/index.asciidoc:510-516)."""
-        sort_spec = self._sort
-
-        def cmp(left: Column, right: Column) -> Column:
-            expr = F.lit(0)
-            # build innermost-first so earlier sort keys take precedence
-            for path, direction in reversed(sort_spec):
-                sign = -1 if direction.lower().startswith("d") else 1
-                lv, rv = _get(left, path), _get(right, path)
-                expr = (
-                    F.when(lv.isNull() & rv.isNull(), expr)
-                    .when(lv.isNull(), F.lit(-sign))
-                    .when(rv.isNull(), F.lit(sign))
-                    .when(lv < rv, F.lit(-sign))
-                    .when(lv > rv, F.lit(sign))
-                    .otherwise(expr)
-                )
-            return expr
-
-        return cmp
+        return hits_comparator(self._sort)
 
     def prepare_lookup(self, lookup: DataFrame) -> DataFrame:
         """Pre-aggregate the snapshot to ONE row per join key.

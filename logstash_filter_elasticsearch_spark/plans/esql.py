@@ -227,9 +227,142 @@ def run_esql(
             for item in _split_commas(body):
                 name, expr = item.split("=", 1)
                 df = df.withColumn(name.strip(), F.expr(_translate_expr(expr.strip())))
+        elif cmd == "MV_EXPAND":
+            # one row per element of a multivalued column; NULL/empty
+            # keeps the row with a NULL value (explode_outer semantics)
+            col = body.strip()
+            df = df.withColumn(col, F.explode_outer(col))
+        elif cmd == "DISSECT":
+            df = _apply_dissect(df, body)
+        elif cmd == "GROK":
+            df = _apply_grok(df, body)
+        elif cmd == "ENRICH":
+            df = _apply_enrich(df, body, tables or {})
         else:
             raise EsqlValidationError(f"Unsupported ES|QL command: {cmd}")
     return df
+
+
+def _split_input_pattern(body: str) -> tuple[str, str]:
+    m = re.match(r"^(\S+)\s+\"((?:[^\"\\]|\\.)*)\"\s*$", body, re.S)
+    if not m:
+        raise EsqlValidationError(f"expected: <input_column> \"pattern\", got {body!r}")
+    return m.group(1), m.group(2)
+
+
+def _apply_dissect(df: DataFrame, body: str) -> DataFrame:
+    """DISSECT input "%{a}/%{b} %{c}": literal-delimited extraction.
+
+    Compiled to ONE anchored regex with a group per key (non-greedy
+    between the literal separators, greedy at the end — dissect
+    semantics). Spark's regexp_extract is run once per key; the match
+    is cheap because the pattern is literal-anchored.
+    Skip modifiers (``%{}``) are supported; append/reference modifiers
+    are not.
+    """
+    input_col, pattern = _split_input_pattern(body)
+    keys: list[str] = []
+    regex_parts: list[str] = []
+    pos = 0
+    for m in re.finditer(r"%\{([^}]*)\}", pattern):
+        regex_parts.append(re.escape(pattern[pos : m.start()]))
+        name = m.group(1).lstrip("?+")
+        if name:
+            keys.append(name)
+            regex_parts.append("(.*?)" if m.end() < len(pattern) else "(.*)")
+        else:  # skip field %{}
+            regex_parts.append(".*?" if m.end() < len(pattern) else ".*")
+        pos = m.end()
+    regex_parts.append(re.escape(pattern[pos:]))
+    rx = "^" + "".join(regex_parts) + "$"
+    for i, key in enumerate(keys, start=1):
+        df = df.withColumn(
+            key, F.nullif(F.regexp_extract(F.col(input_col), rx, i), F.lit(""))
+        )
+    return df
+
+
+# grok base patterns: the subset exercised by logstash-style pipelines
+_GROK_PATTERNS = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BASE10NUM": r"[+-]?\d+(?:\.\d+)?",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "IPORHOST": r"\S+",
+    "HOSTNAME": r"[A-Za-z0-9._-]+",
+    "USER": r"[A-Za-z0-9._-]+",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+}
+
+_GROK_TYPES = {"int": "long", "long": "long", "float": "double", "double": "double"}
+
+
+def _apply_grok(df: DataFrame, body: str) -> DataFrame:
+    """GROK input "%{WORD:verb} %{NUMBER:code:int}": pattern-library
+    extraction with per-field type coercion (the vectorized analog of
+    logstash grok; type table mirrors ESQL_PARSERS_BY_TYPE,
+    esql_executor.rb:8-10)."""
+    input_col, pattern = _split_input_pattern(body)
+    fields: list[tuple[str, str | None]] = []
+    regex_parts: list[str] = []
+    pos = 0
+    for m in re.finditer(r"%\{(\w+)(?::([\w.]+))?(?::(\w+))?\}", pattern):
+        regex_parts.append(re.escape(pattern[pos : m.start()]))
+        base, name, typ = m.group(1), m.group(2), m.group(3)
+        if base not in _GROK_PATTERNS:
+            raise EsqlValidationError(f"unknown grok pattern %{{{base}}}")
+        if name:
+            fields.append((name, typ))
+            regex_parts.append(f"({_GROK_PATTERNS[base]})")
+        else:
+            regex_parts.append(f"(?:{_GROK_PATTERNS[base]})")
+        pos = m.end()
+    regex_parts.append(re.escape(pattern[pos:]))
+    rx = "".join(regex_parts)
+    for i, (name, typ) in enumerate(fields, start=1):
+        col = F.nullif(F.regexp_extract(F.col(input_col), rx, i), F.lit(""))
+        if typ:
+            if typ not in _GROK_TYPES:
+                raise EsqlValidationError(f"unsupported grok type :{typ}")
+            col = col.cast(_GROK_TYPES[typ])
+        df = df.withColumn(name, col)
+    return df
+
+
+def _apply_enrich(df: DataFrame, body: str, registry: dict[str, DataFrame]) -> DataFrame:
+    """ENRICH policy ON key [WITH a, b AS c]: broadcast left join against
+    a registered lookup table — the ES|QL spelling of the engine's core
+    enrichment (A3/B11). The policy name resolves in the ``tables``
+    registry; ``ON`` names the match field on BOTH sides (ES|QL uses the
+    policy's declared match_field; pass it explicitly here)."""
+    m = re.match(r"^(\S+)(?:\s+ON\s+(\S+))?(?:\s+WITH\s+(.*))?$", body, re.I | re.S)
+    if not m:
+        raise EsqlValidationError(f"bad ENRICH clause: {body!r}")
+    policy, on, with_clause = m.group(1), m.group(2), m.group(3)
+    if policy not in registry:
+        raise EsqlValidationError(f"unknown enrich policy (table) {policy!r}")
+    lk = registry[policy]
+    key = on or lk.columns[0]
+    cols: list = []
+    if with_clause:
+        for item in _split_commas(with_clause):
+            parts = re.split(r"\s+AS\s+", item.strip(), flags=re.I)
+            src = parts[0].strip()
+            dest = parts[1].strip() if len(parts) > 1 else src
+            cols.append(F.col(src).alias(dest))
+    else:
+        cols = [F.col(c) for c in lk.columns if c != key]
+    pre = lk.select(F.col(key).alias("_enrich_key"), *cols)
+    out = df.join(
+        F.broadcast(pre), F.col(key).eqNullSafe(F.col("_enrich_key")), "left"
+    )
+    return out.drop("_enrich_key")
 
 
 # ---------- result -> event mapping (esql_executor.rb:65-110) ----------

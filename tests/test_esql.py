@@ -145,3 +145,82 @@ def test_sprintf_interpolation(spark):
     out = df.select(sprintf_expr("logs-%{[source]}-%{[lang]}").alias("idx")).collect()
     assert out[0]["idx"] == "logs-web-en"
     assert out[1]["idx"] == "logs-books-%{[lang]}"
+
+
+def test_mv_expand(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None)], "id int, vals array<string>"
+    )
+    out = run_esql(
+        spark, "FROM t | MV_EXPAND vals | SORT id, vals", tables={"t": df}
+    ).collect()
+    assert [(r.id, r.vals) for r in out] == [
+        (1, "a"), (1, "b"), (2, None), (3, None),
+    ]
+
+
+def test_dissect(spark):
+    df = spark.createDataFrame(
+        [("web/0001/42-17",), ("bad",)], "doc_id string"
+    )
+    out = run_esql(
+        spark,
+        'FROM t | DISSECT doc_id "%{src}/%{shard}/%{seq}-%{epoch}" '
+        "| KEEP doc_id, src, shard, epoch | SORT doc_id",
+        tables={"t": df},
+    ).collect()
+    assert [(r.src, r.shard, r.epoch) for r in out] == [
+        (None, None, None),             # no match -> NULLs
+        ("web", "0001", "17"),
+    ]
+
+
+def test_dissect_skip_field(spark):
+    df = spark.createDataFrame([("a:b:c",)], "s string")
+    out = run_esql(
+        spark, 'FROM t | DISSECT s "%{x}:%{}:%{z}"', tables={"t": df}
+    ).collect()
+    assert (out[0].x, out[0].z) == ("a", "c")
+
+
+def test_grok_with_types(spark):
+    df = spark.createDataFrame(
+        [("GET /api/users 200 0.123",), ("garbage",)], "line string"
+    )
+    out = run_esql(
+        spark,
+        'FROM t | GROK line "%{WORD:verb} %{NOTSPACE:path} %{INT:code:int} '
+        '%{NUMBER:dur:float}" | SORT line',
+        tables={"t": df},
+    ).collect()
+    r = [x for x in out if x.verb is not None][0]
+    assert (r.verb, r.path, r.code, r.dur) == ("GET", "/api/users", 200, 0.123)
+    bad = [x for x in out if x.verb is None][0]
+    assert bad.code is None
+
+
+def test_grok_unknown_pattern_rejected(spark):
+    df = spark.createDataFrame([("x",)], "line string")
+    with pytest.raises(EsqlValidationError):
+        run_esql(spark, 'FROM t | GROK line "%{NOPE:x}"', tables={"t": df})
+
+
+def test_enrich_with_as(spark):
+    events = spark.createDataFrame([(1, "a"), (2, "b"), (3, "zz")], "id int, k string")
+    policy = spark.createDataFrame(
+        [("a", "alpha", 10), ("b", "beta", 20)], "k string, name string, rank int"
+    )
+    out = run_esql(
+        spark,
+        "FROM e | ENRICH p ON k WITH name AS label, rank | SORT id",
+        tables={"e": events, "p": policy},
+    ).collect()
+    assert [(r.id, r.label, r.rank) for r in out] == [
+        (1, "alpha", 10), (2, "beta", 20), (3, None, None),
+    ]
+
+
+def test_enrich_unknown_policy(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(EsqlValidationError):
+        run_esql(spark, "FROM t | ENRICH nope ON id", tables={"t": df})

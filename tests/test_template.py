@@ -1,0 +1,273 @@
+"""query_template compiler tests (reference entry point 2).
+
+Mirrors the reference specs: template render + merge
+(elasticsearch_spec.rb:526-551, fixtures query_template.json /
+query_template_unicode.json), template size/sort overriding configs
+(docs/index.asciidoc:101-103), and the query_string mini-grammar
+(docs/index.asciidoc:36-53).
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_filter_elasticsearch_spark.plans.template import (
+    Bool,
+    EventRef,
+    Exists,
+    Lit,
+    MatchAll,
+    Range,
+    TemplateError,
+    Term,
+    Terms,
+    Wildcard,
+    classify,
+    compile_template,
+    enrich_with_template,
+    parse_query_string,
+)
+
+
+# ------------------------------------------------------------- pure parsing
+
+def test_compile_term_terms_bool():
+    t = compile_template(
+        json.dumps(
+            {
+                "size": 3,
+                "sort": [{"price": "desc"}, "name:asc"],
+                "_source": ["price", "name"],
+                "query": {
+                    "bool": {
+                        "filter": [
+                            {"term": {"status": "F"}},
+                            {"terms": {"prio": ["HIGH", "URGENT"]}},
+                        ],
+                        "must_not": [{"term": {"flag": "x"}}],
+                    }
+                },
+            }
+        )
+    )
+    assert t.size == 3
+    assert t.sort == [("price", "desc"), ("name", "asc")]
+    assert t.source_includes == ["price", "name"]
+    conj = t.conjuncts()
+    assert conj[0] == Term("status", Lit("F"))
+    assert conj[1] == Terms("prio", (Lit("HIGH"), Lit("URGENT")))
+    assert conj[2] == Bool("not", (Term("flag", Lit("x")),))
+
+
+def test_event_ref_detection_and_classify():
+    t = compile_template(
+        {
+            "query": {
+                "bool": {
+                    "must": [
+                        {"term": {"k": "%{[user_id]}"}},
+                        {"term": {"status": "F"}},
+                        {"range": {"price": {"gte": "%{[value]}"}}},
+                    ]
+                }
+            }
+        }
+    )
+    static, join_pairs, theta = classify(t)
+    assert [type(n) for n in static] == [Term]
+    assert len(join_pairs) == 1 and join_pairs[0][1] == "k"
+    assert len(theta) == 1 and isinstance(theta[0], Range)
+
+
+def test_unicode_terms_roundtrip():
+    """query_template_unicode.json fixture shape
+    (spec elasticsearch_spec.rb:544-550)."""
+    t = compile_template({"query": {"terms": {"lock": ["ほげ", "ぴよ"]}}})
+    node = t.conjuncts()[0]
+    assert node == Terms("lock", (Lit("ほげ"), Lit("ぴよ")))
+
+
+def test_empty_template_rejected():
+    with pytest.raises(TemplateError):
+        compile_template({})  # elasticsearch.rb:432-433
+
+
+def test_query_string_grammar():
+    n = parse_query_string(
+        'type:start AND opid:%{[opid]} AND bytes:[100 TO 200] '
+        'AND NOT status:fail AND _exists_:verb AND path:api* AND msg:"hello world"',
+        default_op="AND",
+    )
+    assert isinstance(n, Bool) and n.op == "and"
+    kinds = [type(c) for c in n.children]
+    assert kinds == [Term, Term, Range, Bool, Exists, Wildcard, Term]
+    assert n.children[1] == Term("opid", EventRef("%{[opid]}"))
+    assert n.children[2] == Range("bytes", (("gte", Lit(100)), ("lte", Lit(200))))
+    assert n.children[6] == Term("msg", Lit("hello world"))
+
+
+def test_query_string_or_parens_and_ranges():
+    n = parse_query_string("(a:1 OR b:2) AND c:>=5", default_op="AND")
+    assert n.op == "and"
+    assert n.children[0] == Bool("or", (Term("a", Lit(1)), Term("b", Lit(2))))
+    assert n.children[1] == Range("c", (("gte", Lit(5)),))
+
+
+def test_query_string_default_or():
+    n = parse_query_string("a:1 b:2")  # Lucene default_operator=OR
+    assert isinstance(n, Bool) and n.op == "or"
+
+
+def test_query_string_errors():
+    with pytest.raises(TemplateError):
+        parse_query_string("a:1 AND (b:2", default_op="AND")
+    with pytest.raises(TemplateError):
+        parse_query_string(":::")
+
+
+# ------------------------------------------------------------- end-to-end
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    events = spark.createDataFrame(
+        [(1, 10, 150.0), (2, 20, 50.0), (3, 99, 10.0)],
+        "event_id int, user_id int, value double",
+    )
+    lookup = spark.createDataFrame(
+        [
+            (10, "F", 100.0, "a"),
+            (10, "F", 300.0, "b"),
+            (10, "O", 500.0, "c"),
+            (20, "F", 80.0, "d"),
+        ],
+        "custkey int, status string, price double, name string",
+    )
+    return events, lookup
+
+
+def test_template_hash_join_path(tiny):
+    events, lookup = tiny
+    out = enrich_with_template(
+        events,
+        lookup,
+        {
+            "size": 1,
+            "sort": [{"price": "desc"}],
+            "query": {
+                "bool": {
+                    "filter": [
+                        {"term": {"status": "F"}},
+                        {"term": {"custkey": "%{[user_id]}"}},
+                    ]
+                }
+            },
+        },
+        fields={"name": "top_name", "price": "top_price"},
+    ).orderBy("event_id")
+    rows = out.select(
+        "event_id",
+        F.element_at("top_name", 1).alias("n"),
+        "_meta_total_hits",
+        "matched",
+    ).collect()
+    assert [(r.event_id, r.n, r._meta_total_hits, r.matched) for r in rows] == [
+        (1, "b", 2, True),   # status=F hits a(100),b(300); top by price desc = b
+        (2, "d", 1, True),
+        (3, None, 0, False),  # left-through, un-enriched
+    ]
+
+
+def test_template_static_only(tiny):
+    events, lookup = tiny
+    out = enrich_with_template(
+        events,
+        lookup,
+        {"size": 10, "sort": [{"price": "asc"}], "query": {"term": {"status": "O"}}},
+        fields={"name": "names"},
+    )
+    rows = out.select("event_id", "names").orderBy("event_id").collect()
+    # every event gets the same (static) result set
+    assert all(r.names == ["c"] for r in rows)
+
+
+def test_template_theta_range_path(tiny):
+    """Per-event range predicate: hits differ per event even at equal
+    join keys -> theta join path."""
+    events, lookup = tiny
+    out = enrich_with_template(
+        events,
+        lookup,
+        {
+            "size": 5,
+            "sort": [{"price": "asc"}],
+            "query": {
+                "bool": {
+                    "must": [
+                        {"term": {"custkey": "%{[user_id]}"}},
+                        {"range": {"price": {"lte": "%{[value]}"}}},
+                    ]
+                }
+            },
+        },
+        fields={"name": "names"},
+        event_id="event_id",
+    )
+    rows = {r.event_id: (r.names, r.matched) for r in out.collect()}
+    assert rows[1] == (["a"], True)          # price<=150 among custkey 10
+    assert rows[2] == (None, False)          # 80 > 50? no: 80>50 -> no hit
+    assert rows[3] == (None, False)
+
+
+def test_template_source_includes_suppresses_fields(tiny):
+    events, lookup = tiny
+    out = enrich_with_template(
+        events,
+        lookup,
+        {
+            "_source": ["name"],
+            "size": 1,
+            "sort": [{"price": "desc"}],
+            "query": {"term": {"custkey": "%{[user_id]}"}},
+        },
+        fields={"name": "n", "price": "p"},
+    )
+    assert "n" in out.columns and "p" not in out.columns
+
+
+def test_wildcard_and_exists(tiny):
+    events, lookup = tiny
+    out = enrich_with_template(
+        events,
+        lookup,
+        {
+            "size": 10,
+            "sort": [{"price": "asc"}],
+            "query": {
+                "bool": {
+                    "must": [
+                        {"term": {"custkey": "%{[user_id]}"}},
+                        {"wildcard": {"name": "a*"}},
+                        {"exists": {"field": "price"}},
+                    ]
+                }
+            },
+        },
+        fields={"name": "names"},
+    )
+    rows = {r.event_id: r.names for r in out.collect()}
+    assert rows[1] == ["a"] and rows[2] is None
+
+
+def test_no_python_in_template_plan(tiny):
+    events, lookup = tiny
+    out = enrich_with_template(
+        events,
+        lookup,
+        {"query": {"term": {"custkey": "%{[user_id]}"}}, "size": 1,
+         "sort": [{"price": "desc"}]},
+        fields={"name": "n"},
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
