@@ -506,6 +506,27 @@ def q_esql_mv_expand(spark, sf_dir):
 
 # ---- rows-only queries (no SQL-expressible oracle: seeded xxhash64 / planes)
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline; LSH variant is
+    the rows-only ann path)."""
+    from logstash_filter_elasticsearch_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_near_dup_pairs(emb, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cos", 5).alias("cos"))
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantized ANN (scale path; recall covered by tests)."""
+    from logstash_filter_elasticsearch_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
 def q_minhash_lsh(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.5)
@@ -563,9 +584,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "embedding_topk": q_embedding_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -836,7 +859,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank, round(cos, 5) AS cos
             FROM ranked WHERE rank <= 5
         """,
-        # minhash_lsh / simhash / ann_lsh: seeded xxhash64 & hyperplanes are
-        # not SQL-expressible in DuckDB -> rows-only checks; exactness is
-        # covered by tests/test_training_ops.py python oracles.
+        "embedding_near_dup": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 5) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        """,
+        # minhash_lsh / simhash / ann_lsh / ann_ivf: seeded xxhash64,
+        # hyperplanes, and k-means centroids are not SQL-expressible in
+        # DuckDB -> rows-only checks; exactness/recall is covered by
+        # tests/test_training_ops.py python oracles.
     }

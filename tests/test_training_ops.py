@@ -207,3 +207,77 @@ def test_salted_dedup_first(spark):
     out = {r["key"]: r["val"] for r in
            salted_dedup_first(df, "key", [F.col("ord")], salt_buckets=4).collect()}
     assert out == {"k1": "a", "k2": "z"}
+
+
+def test_ivf_topk_recall(spark):
+    import numpy as np
+    from logstash_filter_elasticsearch_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((60, 16)).astype("float32")
+    planted = np.concatenate(
+        [base, base[:3] + 0.01 * rng.standard_normal((3, 16)).astype("float32")]
+    )
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(planted)],
+        "vec_id int, embedding array<float>",
+    )
+    queries = df.filter(F.col("vec_id") < 3)
+    got = ivf_topk(df, queries, k=1, n_centroids=8, n_probe=3, seed=3).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got}
+    hits = sum(1 for q in range(3) if top1.get(q) == 60 + q)
+    assert hits >= 2  # near-copy lands in the same (or probed) cell
+
+
+def test_cosine_near_dup_exact_vs_numpy(spark):
+    import numpy as np
+    from logstash_filter_elasticsearch_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((25, 8)).astype("float32")
+    vecs[7] = vecs[3] * 2.0          # exact direction dup
+    vecs[9] = vecs[4] + 0.01 * rng.standard_normal(8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id int, embedding array<float>"
+    )
+    got = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs(df, threshold=0.95).collect()}
+    M = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = M @ M.T
+    exp = {
+        (a, b)
+        for a in range(25)
+        for b in range(a + 1, 25)
+        if sims[a][b] >= 0.95
+    }
+    assert got == exp and (3, 7) in got and (4, 9) in got
+
+
+def test_lsh_near_dup_finds_planted(spark):
+    import numpy as np
+    from logstash_filter_elasticsearch_spark.operators.similarity import (
+        lsh_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((40, 16)).astype("float32")
+    planted = np.concatenate(
+        [base, base[:4] + 0.005 * rng.standard_normal((4, 16)).astype("float32")]
+    )
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(planted)],
+        "vec_id int, embedding array<float>",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_dup_pairs(
+            df, threshold=0.99, dim=16, n_planes=8, n_tables=8, seed=23
+        ).collect()
+    }
+    hits = sum(1 for q in range(4) if (q, 40 + q) in got)
+    assert hits >= 3  # multi-table LSH: allow one missed bucket collision
+    # no false positives: every reported pair really is >= threshold
+    M = planted / np.linalg.norm(planted, axis=1, keepdims=True)
+    for a, b in got:
+        assert float(M[a] @ M[b]) >= 0.99 - 1e-6
