@@ -506,6 +506,77 @@ def q_esql_mv_expand(spark, sf_dir):
 
 # ---- rows-only queries (no SQL-expressible oracle: seeded xxhash64 / planes)
 
+def q_scalar_or_array(spark, sf_dir):
+    """A6 exact dynamic rule: 1 hit -> bare scalar, N hits -> JSON array
+    (dsl_executor.rb:58; spec elasticsearch_dsl_spec.rb:100-119)."""
+    from logstash_filter_elasticsearch_spark.operators.enrich import (
+        scalar_or_array_json,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    spec = EnrichSpec(
+        event_key="user_id",
+        lookup_key="o_custkey",
+        fields={"o_orderkey": "keys"},
+        result_size=3,
+        sort=[("o_totalprice", "desc"), ("o_orderkey", "asc")],
+    )
+    out = Enricher(spec).apply(events, orders)
+    return out.select(
+        "event_id", scalar_or_array_json(F.col("keys")).alias("merged")
+    )
+
+
+def q_target_nesting(spark, sf_dir):
+    """A10: dest fields nested under a target struct
+    (dsl_executor.rb:21-25,133-136; docs/index.asciidoc:660-696)."""
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    spec = EnrichSpec(
+        event_key="user_id",
+        lookup_key="c_custkey",
+        fields={"c_name": "name", "c_mktsegment": "segment"},
+        result_size=1,
+        sort=[("c_name", "asc")],
+        target="cust",
+    )
+    out = Enricher(spec).apply(events, customer)
+    return out.select(
+        "event_id",
+        F.element_at("cust.name", 1).alias("cust_name"),
+        F.element_at("cust.segment", 1).alias("cust_segment"),
+    )
+
+
+def q_esql_stats_multi(spark, sf_dir):
+    """B7/B8 richer aggregate surface: avg/min/max/count(distinct)."""
+    tables = {"orders": _t(spark, sf_dir, "orders")}
+    return run_esql(
+        spark,
+        "FROM orders | STATS n = count(*), custs = count(distinct o_custkey), "
+        "avg_price = round(avg(o_totalprice), 2), lo = round(min(o_totalprice), 2), "
+        "hi = round(max(o_totalprice), 2) BY o_orderstatus | SORT o_orderstatus",
+        tables=tables,
+    )
+
+
+def q_index_wildcard(spark, sf_dir):
+    """B1: comma-list/wildcard index resolution -> union of tables
+    (elasticsearch.rb:26-28; spec elasticsearch_dsl_spec.rb:83-98)."""
+    from logstash_filter_elasticsearch_spark.sources.tables import TableCatalog
+
+    reg = TableCatalog(spark)
+    reg.register("events_a", os.path.join(sf_dir, "events.parquet"))
+    reg.register("events_b", os.path.join(sf_dir, "events.parquet"))
+    both = reg.read("events_*")
+    return (
+        both.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact baseline; LSH variant is
     the rows-only ann path)."""
@@ -535,6 +606,33 @@ def q_minhash_lsh(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return simhash(docs, "doc_id", "text")
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Arrow-batched mapInPandas decode stage over binary media columns
+    (deterministic fake codec; schema/batching plumbing is real)."""
+    from logstash_filter_elasticsearch_spark.operators.multimodal import (
+        decode_media,
+        sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id")).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(F.encode("text", "utf-8")).alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+    return sample_frames(decode_media(media), every_ms=10000).select(
+        "media_id", "media_type", "n_bytes", "width", "height", "frame_ts_ms"
+    )
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -583,8 +681,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "scalar_or_array": q_scalar_or_array,
+        "target_nesting": q_target_nesting,
+        "esql_stats_multi": q_esql_stats_multi,
+        "index_wildcard": q_index_wildcard,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_decode": q_multimodal_decode,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
@@ -858,6 +961,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, round(cos, 5) AS cos
             FROM ranked WHERE rank <= 5
+        """,
+        "scalar_or_array": """
+            WITH g AS (
+              SELECT o_custkey,
+                     list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey)[1:3] AS keys
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT e.event_id,
+                   CASE WHEN g.o_custkey IS NULL THEN NULL
+                        WHEN len(g.keys) = 1 THEN CAST(g.keys[1] AS VARCHAR)
+                        ELSE '[' || array_to_string(g.keys, ',') || ']' END AS merged
+            FROM events e LEFT JOIN g ON e.user_id = g.o_custkey
+        """,
+        "target_nesting": """
+            SELECT e.event_id, c.c_name AS cust_name,
+                   c.c_mktsegment AS cust_segment
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "esql_stats_multi": """
+            SELECT o_orderstatus, count(*) AS n,
+                   count(DISTINCT o_custkey) AS custs,
+                   round(avg(o_totalprice), 2) AS avg_price,
+                   round(min(o_totalprice), 2) AS lo,
+                   round(max(o_totalprice), 2) AS hi
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "index_wildcard": """
+            SELECT event_type, count(*) * 2 AS cnt
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "embedding_near_dup": """
             WITH e AS (

@@ -71,15 +71,36 @@ def ensure_bench_data() -> str:
 def pipeline_worker(cores: int, data_dir: str, out_dir: str) -> None:
     """Subprocess entry: run the pipeline at local[cores].
 
-    One full warm-up run (JIT + codegen compile + parquet footer cache),
-    then BENCH_REPS measured runs into fresh sink dirs, reporting the
-    best. This host shows 2-3x run-to-run noise (shared hypervisor);
-    best-of-N against a warmed JVM is the stable, comparable number.
+    Methodology:
+    * ``-XX:ActiveProcessorCount=cores`` — without it the JVM sizes GC /
+      JIT / common pools for the full 32-core host, giving low-core runs
+      free helper threads and corrupting the scaling comparison. With it
+      each level is an honest emulation of an N-core executor host.
+    * One full warm-up run (JIT + codegen compile + parquet footers),
+      then BENCH_REPS measured runs into fresh sink dirs, best-of —
+      this host shows 2-3x run-to-run noise (shared hypervisor).
+    * Two series: ``e2e`` (full pipeline incl. fan-out sinks + manifest)
+      and ``compute`` (same plan into a noop sink) — the compute series
+      isolates the engine's plan scaling from the sandbox's single
+      shared memory bus, which bounds any sink write (see BENCH/).
     """
-    from logstash_filter_elasticsearch_spark.pipeline import PipelineConfig, run_pipeline
+    from logstash_filter_elasticsearch_spark.pipeline import (
+        PipelineConfig,
+        build_enriched,
+        run_pipeline,
+    )
     from logstash_filter_elasticsearch_spark.session import get_spark
 
-    spark = get_spark(app_name=f"bench-{cores}", cores=cores)
+    spark = get_spark(
+        app_name=f"bench-{cores}",
+        cores=cores,
+        extra_conf={
+            "spark.driver.extraJavaOptions": (
+                "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100 "
+                f"-XX:ActiveProcessorCount={cores}"
+            )
+        },
+    )
 
     def one_run(tag: str):
         run_dir = os.path.join(out_dir, tag)
@@ -97,7 +118,30 @@ def pipeline_worker(cores: int, data_dir: str, out_dir: str) -> None:
 
     one_run("warmup")
     best, metrics = min((one_run(f"r{i}") for i in range(BENCH_REPS)), key=lambda x: x[0])
-    print(json.dumps({"cores": cores, "seconds": best, "rows": metrics["total_rows"]}))
+
+    cfg = PipelineConfig(
+        sequences_path=os.path.join(data_dir, "sequences"),
+        lookup_path=os.path.join(data_dir, "lookup.parquet"),
+        out_dir=os.path.join(out_dir, "noop"),
+    )
+    plan = build_enriched(spark, cfg)
+    plan.write.format("noop").mode("overwrite").save()  # warm
+    compute_best = 1e18
+    for _ in range(BENCH_REPS):
+        t0 = time.monotonic()
+        plan.write.format("noop").mode("overwrite").save()
+        compute_best = min(compute_best, time.monotonic() - t0)
+
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "seconds": best,
+                "compute_seconds": compute_best,
+                "rows": metrics["total_rows"],
+            }
+        )
+    )
     spark.stop()
 
 
@@ -138,15 +182,19 @@ def run_scaling(data_dir: str, levels=(2, 8, 32)) -> dict:
         shutil.rmtree(out_dir, ignore_errors=True)
 
     thr = {c: results[c]["rows"] / results[c]["seconds"] for c in levels}
+    cthr = {c: results[c]["rows"] / results[c]["compute_seconds"] for c in levels}
     out: dict = {"pipeline_rows": results[levels[-1]]["rows"]}
     for c in levels:
         out[f"pipeline_local{c}_seq_per_s"] = round(thr[c], 1)
         out[f"pipeline_local{c}_sec"] = round(results[c]["seconds"], 2)
+        out[f"compute_local{c}_seq_per_s"] = round(cthr[c], 1)
     for lo, hi in zip(levels, levels[1:]):
-        speedup = thr[hi] / thr[lo]
-        out[f"speedup_{lo}_to_{hi}"] = round(speedup, 3)
-        out[f"efficiency_{lo}_to_{hi}"] = round(speedup / (hi / lo), 3)
-    # headline N->4N: N=2 (see docstring); full curve reported above
+        out[f"speedup_{lo}_to_{hi}"] = round(thr[hi] / thr[lo], 3)
+        out[f"efficiency_{lo}_to_{hi}"] = round(thr[hi] / thr[lo] / (hi / lo), 3)
+        out[f"compute_efficiency_{lo}_to_{hi}"] = round(
+            cthr[hi] / cthr[lo] / (hi / lo), 3
+        )
+    # headline N->4N pair (N=levels[0]); the full curve is reported above
     out["scaling_pair"] = f"local[{levels[0]}] -> local[{levels[1]}]"
     out["scaling_speedup"] = out[f"speedup_{levels[0]}_to_{levels[1]}"]
     out["scaling_efficiency"] = out[f"efficiency_{levels[0]}_to_{levels[1]}"]

@@ -84,6 +84,57 @@ def run_streaming_pipeline(
     return writer.start()
 
 
+def stateful_first_seen(
+    stream: DataFrame,
+    key_col: str,
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming first-occurrence dedup via ``applyInPandasWithState``.
+
+    The streaming analog of the engine's LRU-style dedup (salted
+    ``dedup_first`` in batch): the first row per key is emitted, every
+    later occurrence is dropped while its key stays in state. With a
+    timeout the state is evicted after idleness, bounding memory — an
+    LRU with time-based eviction, which is exactly how the reference's
+    operators would cap a hot-key cache.
+
+    This is the one sanctioned stateful-Python surface (Arrow-batched,
+    per-group not per-row); everything around it stays native.
+    """
+    import pandas as pd  # noqa: F401 (pandas types flow through Arrow)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = stream.schema
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def emit_first(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = state.exists
+        for pdf in pdf_iter:
+            if not seen and len(pdf):
+                if state_timeout_ms:
+                    state.setTimeoutDuration(state_timeout_ms)
+                state.update((True,))
+                seen = True
+                yield pdf.iloc[[0]]
+        if seen and not state.exists:
+            state.update((True,))
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        emit_first,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 def windowed_source_counts(
     events: DataFrame,
     ts_col: str = "ts",

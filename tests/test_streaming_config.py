@@ -85,3 +85,45 @@ def test_check_tables(spark, seq_data):
     with pytest.raises(ConfigError, match="missing columns"):
         check_tables(spark, {"lookup": seq_data["lookup"]},
                      required_cols={"lookup": ["not_a_column"]})
+
+
+def test_stateful_first_seen_dedup(spark, seq_data, tmp_path):
+    """applyInPandasWithState dedup: exactly one output row per join_key
+    across all micro-batches."""
+    from pyspark.sql import functions as F
+
+    from logstash_filter_elasticsearch_spark.operators.parse import parse_doc_ids
+    from logstash_filter_elasticsearch_spark.streaming.pipeline import (
+        stateful_first_seen,
+    )
+
+    schema = spark.read.parquet(seq_data["seq_dir"]).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1  # force multiple micro-batches
+    ).parquet(seq_data["seq_dir"])
+    parsed = parse_doc_ids(stream).filter(F.col("parse_ok")).select(
+        "doc_id", "join_key", "n_tok"
+    )
+    deduped = stateful_first_seen(parsed, "join_key")
+
+    out = str(tmp_path / "dedup_out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    import pyarrow.dataset as pads
+
+    got = pads.dataset(out).to_table(columns=["join_key"]).column("join_key").to_pylist()
+    n_keys = (
+        parse_doc_ids(spark.read.parquet(seq_data["seq_dir"]))
+        .filter(F.col("parse_ok"))
+        .select("join_key")
+        .distinct()
+        .count()
+    )
+    assert len(got) == len(set(got)) == n_keys
