@@ -506,6 +506,31 @@ def q_esql_mv_expand(spark, sf_dir):
 
 # ---- rows-only queries (no SQL-expressible oracle: seeded xxhash64 / planes)
 
+def q_esql_like_in(spark, sf_dir):
+    """ES|QL WHERE with LIKE wildcard + IN membership."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    return run_esql(
+        spark,
+        "FROM events | WHERE event_type LIKE 'p%' AND user_id IN (1, 2, 3) "
+        "| KEEP event_id, user_id, event_type | SORT event_id",
+        tables=tables,
+    )
+
+
+def q_parse_json_props(spark, sf_dir):
+    """JSON _source-style payload extraction: from_json over the props
+    column (the set form of reading hit _source JSON,
+    request_x_1.json:52-54)."""
+    events = _t(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "_p", F.from_json("props", "k int")
+    )
+    return parsed.select(
+        "event_id", F.col("_p.k").alias("k"),
+        (F.col("_p.k") >= 50).alias("k_high"),
+    )
+
+
 def q_scalar_or_array(spark, sf_dir):
     """A6 exact dynamic rule: 1 hit -> bare scalar, N hits -> JSON array
     (dsl_executor.rb:58; spec elasticsearch_dsl_spec.rb:100-119)."""
@@ -681,6 +706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "esql_like_in": q_esql_like_in,
+        "parse_json_props": q_parse_json_props,
         "scalar_or_array": q_scalar_or_array,
         "target_nesting": q_target_nesting,
         "esql_stats_multi": q_esql_stats_multi,
@@ -961,6 +988,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, round(cos, 5) AS cos
             FROM ranked WHERE rank <= 5
+        """,
+        "esql_like_in": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE event_type LIKE 'p%' AND user_id IN (1, 2, 3)
+            ORDER BY event_id
+        """,
+        "parse_json_props": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+                   CAST(json_extract(props, '$.k') AS INTEGER) >= 50 AS k_high
+            FROM events
         """,
         "scalar_or_array": """
             WITH g AS (
