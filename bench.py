@@ -38,13 +38,17 @@ HEADLINE = [
     "docinfo_latest",
     "topk_per_key",
     "esql_stats_by",
+    "esql_enrich",
+    "query_template_render",
     "dedup_exact",
     "ngram_jaccard",
     "quality_scores",
     "fingerprint",
     "salted_route_agg",
     "embedding_topk",
+    "embedding_near_dup",
     "minhash_lsh",
+    "ann_ivf",
 ]
 
 

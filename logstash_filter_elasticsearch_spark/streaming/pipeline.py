@@ -84,6 +84,31 @@ def run_streaming_pipeline(
     return writer.start()
 
 
+def sessionized_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "route_source",
+    gap: str = "5 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Session-window aggregates: a session closes after ``gap`` of
+    inactivity per key; the watermark bounds state. Dynamic-length
+    windows — the streaming shape Spark manages natively that the
+    reference would need an external aggregator for."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("rows"), F.sum("n_tok").alias("sum_n_tok"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            key_col,
+            "rows",
+            "sum_n_tok",
+        )
+    )
+
+
 def stateful_first_seen(
     stream: DataFrame,
     key_col: str,

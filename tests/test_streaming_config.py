@@ -127,3 +127,34 @@ def test_stateful_first_seen_dedup(spark, seq_data, tmp_path):
         .count()
     )
     assert len(got) == len(set(got)) == n_keys
+
+
+def test_session_windows_on_static(spark, seq_data):
+    """Session-window logic on a static frame: sessions split exactly at
+    gaps > the threshold, and totals are preserved."""
+    from pyspark.sql import functions as F
+
+    from logstash_filter_elasticsearch_spark.operators.parse import parse_doc_ids
+    from logstash_filter_elasticsearch_spark.streaming.pipeline import (
+        sessionized_counts,
+    )
+
+    df = (
+        parse_doc_ids(spark.read.parquet(seq_data["seq_dir"]))
+        .filter(F.col("parse_ok"))
+        .withColumn("ts", F.to_timestamp(F.from_unixtime(F.col("epoch"))))
+    )
+    out = sessionized_counts(df, ts_col="ts", key_col="route_source", gap="5 minutes")
+    rows = out.collect()
+    assert sum(r["rows"] for r in rows) == df.count()
+    assert all(r["session_end"] > r["session_start"] for r in rows)
+    # sessions for one key never overlap
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["route_source"], []).append(
+            (r["session_start"], r["session_end"])
+        )
+    for spans in by_key.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 >= e1
