@@ -55,24 +55,16 @@ def exact_dedup(
 
 
 def word_shingles(text_col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM-side).
+    """Distinct word n-gram shingles of a text column (one regex pass).
 
-    PERF WARNING: higher-order functions run interpreted (no codegen),
-    and a lambda that embeds the split() subtree re-evaluates it per
-    element — O(words^2) per row. Use this expression only over an
-    already-materialized words array, or go through
-    ``with_word_shingles`` which projects the split once.
+    Same expression as ``with_word_shingles`` for use in ad-hoc selects.
     """
-    words = F.split(F.trim(text_col), r"\s+")
-    return _shingles_of_words(words, n)
-
-
-def _shingles_of_words(words: Column, n: int) -> Column:
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
+    norm = F.trim(F.regexp_replace(text_col, r"\s+", " "))
+    gram = r"(?=((?:\S+ ){%d}\S+))\S+" % (n - 1)
+    grams = F.regexp_extract_all(norm, F.lit(gram), 1)
+    return F.array_distinct(
+        F.when(F.size(grams) > 0, grams).otherwise(F.array(norm))
     )
-    return F.array_distinct(grams)
 
 
 def with_word_shingles(
@@ -89,13 +81,7 @@ def with_word_shingles(
     document shorter than n words contributes its whole text as the
     single shingle.
     """
-    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    gram = r"(?=((?:\S+ ){%d}\S+))\S+" % (n - 1)
-    grams = F.regexp_extract_all(norm, F.lit(gram), 1)
-    short = F.array(norm)  # < n words: the whole text is the shingle
-    return df.withColumn(
-        out, F.array_distinct(F.when(F.size(grams) > 0, grams).otherwise(short))
-    )
+    return df.withColumn(out, word_shingles(F.col(text_col), n))
 
 
 def ngram_jaccard_pairs(

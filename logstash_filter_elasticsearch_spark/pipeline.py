@@ -46,6 +46,11 @@ class PipelineConfig:
     sequences_path: str
     lookup_path: str
     out_dir: str
+    # Sink table format. "parquet" here (no Iceberg runtime jar in this
+    # container); on a cluster set "iceberg" and the same partitionBy
+    # write goes through the Iceberg committer, whose snapshot commit
+    # subsumes publish_atomic (the manifest still carries metrics).
+    sink_format: str = "parquet"
     # Fan-out write strategy:
     #   "direct"    — no shuffle; every scan task writes its slice of each
     #                 route it sees (sort-free via
@@ -166,7 +171,9 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     if committed_before:  # resume: skip already-committed sinks
         writable = writable.filter(~F.col("route").isin(sorted(committed_before)))
     writable = _apply_write_strategy(writable, cfg)
-    writable.write.mode("overwrite").partitionBy("route").parquet(staging)
+    writable.write.mode("overwrite").partitionBy("route").format(
+        cfg.sink_format
+    ).save(staging)
 
     staged_routes = sorted(
         d.split("=", 1)[1] for d in os.listdir(staging) if d.startswith("route=")
