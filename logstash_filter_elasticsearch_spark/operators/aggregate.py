@@ -82,8 +82,12 @@ def salted_dedup_first(
     salts. Deterministic given a total order.
     """
     ordering = F.struct(*order_by)
+    # salt by INPUT PARTITION, never by a hash of the group key: hashing
+    # the key gives every row of a hot key the same salt (zero spread).
+    # partition-id salt makes phase 1 a per-partition combiner — the
+    # hot key contributes at most one row per (input partition, key).
     packed = df.withColumn("_ord", ordering).withColumn(
-        "_salt", F.pmod(F.hash(F.col(key)), F.lit(salt_buckets * 7919))
+        "_salt", F.spark_partition_id() % salt_buckets
     )
     row = F.struct(*[F.col(c) for c in df.columns])
     phase1 = packed.groupBy(key, "_salt").agg(F.min_by(row, F.col("_ord")).alias("_row"),
