@@ -155,3 +155,33 @@ def test_nested_path_extraction(spark):
     )
     out = Enricher(spec).apply(events, lookup).collect()[0]
     assert out["city"] == ["Paris"]
+
+
+def test_non_broadcast_path_identical(spark, seq_data):
+    """broadcast=False (lookup too big to broadcast on a real cluster):
+    AQE picks a shuffled join, results are bit-identical to the
+    broadcast plan."""
+    from pyspark.sql import functions as F
+
+    from logstash_filter_elasticsearch_spark.operators.parse import parse_doc_ids
+
+    events = parse_doc_ids(spark.read.parquet(seq_data["seq_dir"]))
+    lookup = spark.read.parquet(seq_data["lookup"])
+
+    def run(broadcast):
+        spec = EnrichSpec(
+            event_key="join_key",
+            lookup_key="join_key",
+            fields={"payload.response": "resp"},
+            docinfo_fields={"_id": "es_id"},
+            result_size=1,
+            sort=[("payload.timestamp_ms", "desc")],
+            broadcast=broadcast,
+        )
+        out = Enricher(spec).apply(events, lookup)
+        return {
+            r["doc_id"]: (r["_meta_total_hits"], r["resp"], r["es_id"], r["matched"])
+            for r in out.collect()
+        }
+
+    assert run(True) == run(False)
