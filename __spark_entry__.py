@@ -506,6 +506,20 @@ def q_esql_mv_expand(spark, sf_dir):
 
 # ---- rows-only queries (no SQL-expressible oracle: seeded xxhash64 / planes)
 
+def q_esql_stats_percentile(spark, sf_dir):
+    """B7 distribution aggregates: exact median + interpolated p90
+    (ES|QL MEDIAN/PERCENTILE; Spark and DuckDB share the linear-
+    interpolation definition)."""
+    tables = {"orders": _t(spark, sf_dir, "orders")}
+    return run_esql(
+        spark,
+        "FROM orders | STATS med = round(median(o_totalprice), 4), "
+        "p90 = round(percentile(o_totalprice, 0.9), 4) "
+        "BY o_orderstatus | SORT o_orderstatus",
+        tables=tables,
+    )
+
+
 def q_esql_like_in(spark, sf_dir):
     """ES|QL WHERE with LIKE wildcard + IN membership."""
     tables = {"events": _t(spark, sf_dir, "events")}
@@ -706,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "esql_stats_percentile": q_esql_stats_percentile,
         "esql_like_in": q_esql_like_in,
         "parse_json_props": q_parse_json_props,
         "scalar_or_array": q_scalar_or_array,
@@ -988,6 +1003,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, round(cos, 5) AS cos
             FROM ranked WHERE rank <= 5
+        """,
+        "esql_stats_percentile": """
+            SELECT o_orderstatus,
+                   round(median(o_totalprice), 4) AS med,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "esql_like_in": """
             SELECT event_id, user_id, event_type FROM events
