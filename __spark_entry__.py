@@ -628,23 +628,73 @@ def q_embedding_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cos", 5).alias("cos"))
 
 
+def _ivf_fixed_centroids(seed: int = 7, n_centroids: int = 16, dim: int = 64):
+    """Seed-derived unit centroids for the CONTRACT ivf query.
+
+    Data-independent on purpose: the DuckDB oracle embeds the same
+    literals and replicates assignment/probe/re-rank exactly, so the
+    gate verifies the IVF *machinery*. The production path trains
+    centroids on a deterministic sample (``train_centroids``, covered
+    by the pytest recall tests) — swap-in is one argument.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return c.tolist()
+
+
 def q_ann_ivf(spark, sf_dir):
-    """IVF coarse-quantized ANN (scale path; recall covered by tests)."""
+    """IVF coarse-quantized ANN (scale path; trained-centroid recall is
+    pytest-covered; the contract run uses fixed seed centroids so the
+    DuckDB oracle can replicate cell assignment bit-for-bit)."""
     from logstash_filter_elasticsearch_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    out = ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4,
+        centroids=_ivf_fixed_centroids(),
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 5).alias("cos")
+    )
 
 
 def q_minhash_lsh(spark, sf_dir):
+    """MinHash banding + exact-Jaccard verify. At this data's duplicate
+    profile (all true pairs >= 0.9 Jaccard) band recall is 1-3e-8, so
+    the exact-Jaccard SQL is a valid oracle; the banded path never sees
+    the O(N^2) pair space."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.5)
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_simhash(spark, sf_dir):
+    """SimHash fingerprints in md5 hash-mode: bit-for-bit recomputable
+    by the DuckDB oracle (prod default stays xxhash64)."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash(docs, "doc_id", "text")
+    return simhash(docs, "doc_id", "text", hash_mode="md5")
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Hyperplane-LSH near-dup pairs — the 100 TB contract path for
+    embedding near-dup (bucketed self-join, never all-pairs). The
+    oracle embeds the same seed-derived hyperplanes as SQL literals and
+    replicates bucketing + candidate join + exact cosine filter."""
+    from logstash_filter_elasticsearch_spark.operators.similarity import (
+        lsh_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_near_dup_pairs(
+        emb, threshold=0.4, dim=64, n_planes=10, n_tables=6, seed=42
+    )
+    return out.select("id_a", "id_b", F.round("cos", 5).alias("cos"))
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -675,9 +725,13 @@ def q_multimodal_decode(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
+    """Multi-table hyperplane LSH top-k; oracle replicates the planes."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(emb, queries, k=5, dim=64, n_planes=10, n_tables=6)
+    out = lsh_topk(emb, queries, k=5, dim=64, n_planes=10, n_tables=6)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 5).alias("cos")
+    )
 
 
 # ---------------------------------------------------------------- contract
@@ -729,12 +783,201 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_wildcard": q_index_wildcard,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "multimodal_decode": q_multimodal_decode,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
     }
+
+
+# ---- oracle-SQL generators for the hash/geometry ops ------------------
+#
+# These ops are driver-checkable because every random ingredient is a
+# pure function of a literal seed: the oracle embeds the SAME planes /
+# centroids / hash definition as SQL literals and recomputes the full
+# algorithm (bucketing, candidate joins, re-rank) in DuckDB.
+
+def _planes_values_sql(seed: int, n_planes: int, n_tables: int, dim: int) -> str:
+    """VALUES rows (tbl, w, pv) mirroring similarity._planes exactly:
+    per-table rng(seed + 1000*t).standard_normal, weight 2^plane_idx."""
+    import numpy as np
+
+    rows = []
+    for t in range(n_tables):
+        planes = np.random.default_rng(seed + 1000 * t).standard_normal(
+            (n_planes, dim)
+        )
+        for i in range(n_planes):
+            vec = ", ".join(repr(float(x)) for x in planes[i])
+            rows.append(f"({t}, {1 << i}, [{vec}]::DOUBLE[])")
+    return "planes(tbl, w, pv) AS (VALUES\n" + ",\n".join(rows) + ")"
+
+
+_NGRAM_JACCARD_SQL = r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM words
+    ), exploded AS (
+      SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM shingled
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+      FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(common / (sz_a + sz_b - common), 6) AS jaccard
+    FROM pairs
+    WHERE common / (sz_a + sz_b - common) >= 0.5
+"""
+
+
+_LSH_SIG_SQL = """
+        e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_inner_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS n
+          FROM embeddings
+        ), sig AS (
+          SELECT e.vec_id, p.tbl,
+                 sum(CASE WHEN list_inner_product(e.v, p.pv) >= 0
+                          THEN p.w ELSE 0 END) AS bucket
+          FROM e CROSS JOIN planes p
+          GROUP BY e.vec_id, p.tbl
+        )"""
+
+
+def _ann_lsh_oracle_sql() -> str:
+    planes = _planes_values_sql(seed=42, n_planes=10, n_tables=6, dim=64)
+    return f"""
+        WITH {planes},{_LSH_SIG_SQL},
+        cands AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM sig c JOIN sig q ON c.tbl = q.tbl AND c.bucket = q.bucket
+          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        ), scored AS (
+          SELECT cd.query_id, cd.neighbor_id,
+                 list_inner_product(a.v, b.v) / (a.n * b.n) AS cos
+          FROM cands cd
+          JOIN e a ON a.vec_id = cd.query_id
+          JOIN e b ON b.vec_id = cd.neighbor_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, round(cos, 5) AS cos
+        FROM ranked WHERE rank <= 5
+    """
+
+
+def _embedding_near_dup_lsh_oracle_sql() -> str:
+    planes = _planes_values_sql(seed=42, n_planes=10, n_tables=6, dim=64)
+    return f"""
+        WITH {planes},{_LSH_SIG_SQL},
+        cands AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+          WHERE a.vec_id < b.vec_id
+        )
+        SELECT cd.id_a, cd.id_b,
+               round(list_inner_product(a.v, b.v) / (a.n * b.n), 5) AS cos
+        FROM cands cd
+        JOIN e a ON a.vec_id = cd.id_a
+        JOIN e b ON b.vec_id = cd.id_b
+        WHERE list_inner_product(a.v, b.v) / (a.n * b.n) >= 0.4
+    """
+
+
+def _ann_ivf_oracle_sql() -> str:
+    cents = _ivf_fixed_centroids()
+    rows = ",\n".join(
+        f"({ci}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for ci, c in enumerate(cents)
+    )
+    return f"""
+        WITH cent(cell, cv) AS (VALUES
+        {rows}),
+        e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 greatest(sqrt(list_inner_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[])), 1e-12) AS n
+          FROM embeddings
+        ), sims AS (
+          SELECT e.vec_id, c.cell,
+                 list_inner_product(e.v, c.cv) / e.n AS s,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY list_inner_product(e.v, c.cv) / e.n
+                                             DESC, c.cell) AS rn
+          FROM e CROSS JOIN cent c
+        ),
+        assign AS (SELECT vec_id, cell FROM sims WHERE rn = 1),
+        probe AS (SELECT vec_id, cell FROM sims WHERE rn <= 4 AND vec_id < 5),
+        cands AS (
+          SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+          FROM assign a JOIN probe p ON a.cell = p.cell
+          WHERE a.vec_id <> p.vec_id
+        ), scored AS (
+          SELECT cd.query_id, cd.neighbor_id,
+                 list_inner_product(a.v, b.v) / (a.n * b.n) AS cos
+          FROM cands cd
+          JOIN e a ON a.vec_id = cd.query_id
+          JOIN e b ON b.vec_id = cd.neighbor_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, round(cos, 5) AS cos
+        FROM ranked WHERE rank <= 5
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """Recompute the md5-mode simhash: word hash = first 16 hex chars of
+    md5(word) as 4x16-bit chunks, bit i = chunk[i//16] >> (i%16) & 1."""
+    nibs = ", ".join(
+        f"CAST('0x' || substr(md5(_w), {1 + 4 * c}, 4) AS INT) AS _v{c}"
+        for c in range(4)
+    )
+    bit_sums = ",\n                 ".join(
+        f"sum(CASE WHEN (_v{i // 16} >> {i % 16}) & 1 = 1 THEN 1 ELSE -1 END) AS _b{i}"
+        for i in range(64)
+    )
+    def w(i):
+        return f"CAST({1 << i} AS BIGINT)" if i < 63 else "(-9223372036854775807 - 1)"
+    fp = "\n             + ".join(
+        f"(CASE WHEN _b{i} > 0 THEN {w(i)} ELSE CAST(0 AS BIGINT) END)"
+        for i in range(64)
+    )
+    return rf"""
+        WITH words AS (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(regexp_replace(
+                        lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                        '\s+', ' ', 'g')), ' ')) AS _w
+          FROM documents
+        ), nib AS (
+          SELECT doc_id, {nibs} FROM words
+        ), sums AS (
+          SELECT doc_id,
+                 {bit_sums}
+          FROM nib GROUP BY doc_id
+        )
+        SELECT doc_id,
+               {fp} AS simhash
+        FROM sums
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -916,31 +1159,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
                      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
         """,
-        "ngram_jaccard": r"""
-            WITH words AS (
-              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-              FROM documents
-            ), shingled AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(
-                       generate_series(1, greatest(len(w) - 2, 1)),
-                       i -> array_to_string(w[i:i+2], ' '))) AS sh
-              FROM words
-            ), exploded AS (
-              SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM shingled
-            ), pairs AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
-              FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2, 3, 4
-            )
-            SELECT id_a, id_b,
-                   round(common / (sz_a + sz_b - common), 6) AS jaccard
-            FROM pairs
-            WHERE common / (sz_a + sz_b - common) >= 0.5
-        """,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # minhash_lsh = banded LSH + exact-Jaccard verify; on this data
+        # every true pair sits at >= 0.9 Jaccard where 16-band recall is
+        # 1-3.4e-8 and the whole path is seeded/deterministic, so the
+        # exact-Jaccard SQL is its oracle (pytest covers band recall).
+        "minhash_lsh": _NGRAM_JACCARD_SQL,
         "salted_route_agg": """
-            SELECT source, count(doc_id) AS n_docs, sum(n_chars) AS sum_chars
+            -- CAST: DuckDB sum(BIGINT) yields HUGEINT (int128) whose typed
+            -- hash differs from Spark's LONG even for equal values.
+            SELECT source, count(doc_id) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY source
         """,
         "dedup_latest_event": """
@@ -1059,8 +1288,34 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         """,
-        # minhash_lsh / simhash / ann_lsh / ann_ivf: seeded xxhash64,
-        # hyperplanes, and k-means centroids are not SQL-expressible in
-        # DuckDB -> rows-only checks; exactness/recall is covered by
-        # tests/test_training_ops.py python oracles.
+        "simhash": _simhash_oracle_sql(),
+        "ann_lsh": _ann_lsh_oracle_sql(),
+        "ann_ivf": _ann_ivf_oracle_sql(),
+        "embedding_near_dup_lsh": _embedding_near_dup_lsh_oracle_sql(),
+        # decode stage: deterministic fake codec (sha256-derived dims) —
+        # recomputed in SQL; real codec plugs in behind the same schema.
+        "multimodal_decode": """
+            WITH m AS (
+              SELECT 'm' || doc_id AS media_id,
+                     (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]
+                       AS media_type,
+                     octet_length(encode(text)) AS n_bytes,
+                     sha256(text) AS sha
+              FROM documents
+            ), d AS (
+              SELECT media_id, media_type, n_bytes,
+                     16 + CAST('0x' || substr(sha, 1, 2) AS INT) % 240 AS width,
+                     16 + CAST('0x' || substr(sha, 3, 2) AS INT) % 240 AS height,
+                     CASE WHEN media_type IN ('audio', 'video')
+                          THEN CAST('0x' || substr(sha, 5, 4) AS INT)
+                          ELSE 0 END AS duration_ms
+              FROM m
+            )
+            SELECT media_id, media_type, n_bytes, width, height,
+                   unnest(CASE WHEN duration_ms >= 10000
+                               THEN list_transform(range(duration_ms // 10000),
+                                                   i -> CAST(i * 10000 AS INT))
+                               ELSE [0] END) AS frame_ts_ms
+            FROM d
+        """,
     }

@@ -227,22 +227,40 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, hash_mode: str = "xxhash"
+) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
     Explode words once; per bit, sum +1/-1 by that bit of the word
     hash; sign -> fingerprint bit. 64 conditional sums in ONE grouped
     aggregate — a single shuffle keyed by doc id.
+
+    hash_mode selects the per-word 64-bit hash:
+    * "xxhash" (prod default): seeded xxhash64 — fastest, JVM-native.
+    * "md5": the first 16 hex chars of md5(word) read as 4 little-
+      endian 16-bit chunks (bit i := chunk[i//16] >> (i%16) & 1).
+      Same bit quality, but computable bit-for-bit in DuckDB too, so
+      the driver's SQL oracle can recompute the full fingerprint
+      (see ``__spark_entry__.oracle_sql``).
     """
     words = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_w"),
-    ).withColumn("_h", F.xxhash64("_w", F.lit(42)))
+    )
+    if hash_mode == "md5":
+        words = words.withColumn("_hx", F.md5("_w"))
+        chunk = [
+            F.conv(F.substring("_hx", 1 + 4 * c, 4), 16, 10).cast("int")
+            for c in range(4)
+        ]
+        bit = lambda i: F.shiftright(chunk[i // 16], i % 16).bitwiseAND(F.lit(1))
+    else:
+        words = words.withColumn("_h", F.xxhash64("_w", F.lit(42)))
+        bit = lambda i: F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))
 
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_b{i}")
+        F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"_b{i}")
         for i in range(64)
     ]
     agg = words.groupBy("_id").agg(*bit_sums)

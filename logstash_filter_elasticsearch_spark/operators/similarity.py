@@ -331,6 +331,9 @@ def cosine_near_dup_pairs(
 
     O(n^2) with the full corpus in memory on each executor — this is
     the exact baseline/oracle path; use ``lsh_near_dup_pairs`` at scale.
+    The corpus matrix ships via ``SparkContext.broadcast`` (torrent
+    blocks, one copy per executor), NOT closure capture (which would
+    re-serialize it into every task binary).
     """
     import pandas as pd
 
@@ -339,9 +342,10 @@ def cosine_near_dup_pairs(
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
+    bc = df.sparkSession.sparkContext.broadcast((ids[order], mat[order]))
 
     def score(batches):
+        ids, mat = bc.value
         for pdf in batches:
             a_ids = pdf["i"].to_numpy(dtype=np.int64)
             a = np.array(list(pdf["v"]), dtype=np.float64)
