@@ -16,20 +16,21 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
+
+from logstash_filter_elasticsearch_spark.fsio import LocalFS
 
 
 class Manifest:
     VERSION = 1
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, fs=None):
         self.path = path
+        self.fs = fs or LocalFS()
         self.data = {"version": self.VERSION, "routes": {}, "runs": []}
-        if os.path.exists(path):
-            with open(path) as f:
-                self.data = json.load(f)
+        if self.fs.exists(path):
+            self.data = json.loads(self.fs.read_text(path))
 
     @property
     def committed_routes(self) -> set[str]:
@@ -56,15 +57,16 @@ class Manifest:
         self.flush()
 
     def flush(self) -> None:
-        tmp = f"{self.path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(self.data, f, indent=2, sort_keys=True)
-        os.replace(tmp, self.path)  # atomic on POSIX
+        self.fs.write_text_atomic(
+            self.path, json.dumps(self.data, indent=2, sort_keys=True)
+        )
 
 
-def publish_atomic(staging_dir: str, final_dir: str) -> None:
-    """Atomic per-sink publish: stage fully, then one rename."""
-    if os.path.exists(final_dir):
-        shutil.rmtree(final_dir)
-    os.makedirs(os.path.dirname(final_dir), exist_ok=True)
-    os.replace(staging_dir, final_dir)
+def publish_atomic(staging_dir: str, final_dir: str, fs=None) -> None:
+    """Per-sink publish: stage fully, then one rename (atomic on POSIX/
+    HDFS; copy+delete on object stores — see fsio module docstring)."""
+    fs = fs or LocalFS()
+    if fs.exists(final_dir):
+        fs.delete(final_dir)
+    fs.makedirs(os.path.dirname(final_dir))
+    fs.rename(staging_dir, final_dir)

@@ -84,12 +84,34 @@ def with_word_shingles(
     return df.withColumn(out, word_shingles(F.col(text_col), n))
 
 
+def _drop_heavy_keys(rows: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """Remove rows whose key appears in more than ``cap`` rows.
+
+    Heavy-hitter guard for posting-list aggregations: a stop-shingle /
+    degenerate bucket with document frequency f would build ONE
+    f-element collect_list row (OOM at web scale) and f^2/2 pairs.
+    Detection is a cheap map-side-combined count; the heavy-key set is
+    tiny by construction (keys with > cap occurrences), so the removal
+    is a broadcast left_anti join — no extra shuffle of ``rows``.
+    A post-aggregation size filter would NOT help: the huge row gets
+    built before the filter sees it.
+    """
+    heavy = (
+        rows.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > cap)
+        .select(*key_cols)
+    )
+    return rows.join(F.broadcast(heavy), key_cols, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    df_cap: int | None = 10_000,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram shingle sets.
 
@@ -97,6 +119,16 @@ def ngram_jaccard_pairs(
     pairs with non-zero intersection exist, and Catalyst shuffles on
     the shingle hash. |A|,|B| ride along so Jaccard needs no second
     join. Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``df_cap``: stop-shingle cutoff — shingles occurring in more than
+    df_cap documents are excluded from pair generation (standard
+    near-dup practice: such shingles carry no similarity signal but
+    cost f^2/2 pairs and an f-element aggregation row). Pairs whose
+    OTHER shingles clear the threshold are unaffected; a pair held up
+    only by stop-shingles loses intersection mass, which slightly
+    lowers measured Jaccard — acceptable at a cap of 10k. None
+    disables the guard (exact semantics, used by the small-scale
+    oracle checks only when data demands it).
     """
     # One evaluation of the shingle expression, total:
     # * set size rides along from F.size() — no separate sizes agg
@@ -113,6 +145,8 @@ def ngram_jaccard_pairs(
     sh = base.select("_id", "_sz", F.explode("_sh").alias("_shs")).select(
         "_id", "_sz", F.xxhash64("_shs").alias("_sh")
     )
+    if df_cap is not None:
+        sh = _drop_heavy_keys(sh, ["_sh"], df_cap)
     posting = sh.groupBy("_sh").agg(
         F.collect_list(F.struct("_id", "_sz")).alias("_ds")
     ).filter(F.size("_ds") > 1)
@@ -167,6 +201,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     shingle_n: int = 3,
+    bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
 
@@ -174,6 +209,13 @@ def minhash_lsh_pairs(
     Candidates meet only inside (band, band_hash) buckets — the join
     key is a 64-bit hash, so skew is bounded by true duplicate clusters
     (AQE skew-join splits those).
+
+    ``bucket_cap`` is the OOM backstop: a band bucket with more than
+    bucket_cap members (a mega-cluster of exact copies, or a
+    degenerate band) is excluded from candidate generation before its
+    posting list is built. A cluster of f copies legitimately has
+    f^2/2 pairs — at web scale you run exact_dedup first so f stays
+    small; the cap bounds the damage when that invariant breaks.
     """
     assert num_perm % bands == 0
     r = num_perm // bands
@@ -199,6 +241,15 @@ def minhash_lsh_pairs(
     # group-then-pair instead of a self-join: the signature subtree
     # (shingles + num_perm hash-min aggregate) is evaluated once, not
     # once per join side
+    if bucket_cap is not None:
+        # the guard consumes band_rows twice (heavy-key count + anti-
+        # join); persist the compact (id, band, bhash) rows so the
+        # signature aggregate isn't recomputed — production LSH builds
+        # materialize the signature table as an index artifact anyway
+        from pyspark import StorageLevel
+
+        band_rows = band_rows.persist(StorageLevel.MEMORY_AND_DISK)
+        band_rows = _drop_heavy_keys(band_rows, ["band", "bhash"], bucket_cap)
     posting = band_rows.groupBy("band", "bhash").agg(
         F.collect_list("_id").alias("_ids")
     ).filter(F.size("_ids") > 1)

@@ -25,7 +25,7 @@ metrics; re-running skips them (idempotent — tested by kill/resume).
 from __future__ import annotations
 
 import os
-import shutil
+import urllib.parse
 from dataclasses import dataclass, field
 
 import pyarrow as pa
@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logstash_filter_elasticsearch_spark.checkpoint import Manifest, publish_atomic
+from logstash_filter_elasticsearch_spark.fsio import fs_for
 from logstash_filter_elasticsearch_spark.operators.aggregate import salted_agg
 from logstash_filter_elasticsearch_spark.operators.enrich import EnrichSpec, Enricher
 from logstash_filter_elasticsearch_spark.operators.parse import parse_doc_ids
@@ -152,8 +153,9 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     exactly the bytes that get committed, and the expensive
     parse+enrich work is never executed twice.
     """
-    os.makedirs(cfg.out_dir, exist_ok=True)
-    manifest = Manifest(os.path.join(cfg.out_dir, "_MANIFEST.json"))
+    fs = fs_for(cfg.out_dir, spark)
+    fs.makedirs(cfg.out_dir)
+    manifest = Manifest(os.path.join(cfg.out_dir, "_MANIFEST.json"), fs=fs)
 
     df = build_enriched(spark, cfg)
 
@@ -175,14 +177,22 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         cfg.sink_format
     ).save(staging)
 
-    staged_routes = sorted(
-        d.split("=", 1)[1] for d in os.listdir(staging) if d.startswith("route=")
+    # staged dir names are Spark's %-escaped partition values; the
+    # manifest/metrics key is the UNESCAPED route string, and the sink
+    # dir reuses the escaped name verbatim so read-back stays Hive-
+    # partition-compatible (the dir-name/column-value mismatch was a
+    # KeyError/mis-named-sink bug class).
+    staged_dirs = sorted(
+        d for d in fs.list_names(staging) if d.startswith("route=")
     )
     route_metrics: dict[str, dict] = {}
-    if staged_routes:
+    if staged_dirs:
         agg_rows = (
-            spark.read.parquet(staging)
-            .groupBy("route")
+            spark.read.format(cfg.sink_format)
+            .load(staging)
+            # cast: partition-value type inference can turn a numeric-
+            # looking route into an int; metrics are keyed by string
+            .groupBy(F.col("route").cast("string").alias("route"))
             .agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.sum("n_tok").alias("sum_n_tok"),
@@ -199,10 +209,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
             for r in agg_rows
         }
         input_files = spark.read.parquet(cfg.sequences_path).inputFiles()
-        for route in staged_routes:
+        for d in staged_dirs:
+            route = urllib.parse.unquote(d.split("=", 1)[1])
             publish_atomic(
-                os.path.join(staging, f"route={route}"),
-                os.path.join(cfg.out_dir, "sinks", f"route={route}"),
+                os.path.join(staging, d),
+                os.path.join(cfg.out_dir, "sinks", d),
+                fs=fs,
             )
             manifest.commit_route(
                 route,
@@ -214,7 +226,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
                     "lookup_path": cfg.lookup_path,
                 },
             )
-    shutil.rmtree(staging, ignore_errors=True)
+    fs.delete(staging)
 
     # per-sink aggregates sink (rebuilt from the manifest every run).
     # Written with pyarrow directly: it is driver-side metadata of
@@ -239,8 +251,13 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         ),
     )
     agg_dir = os.path.join(cfg.out_dir, "aggregates.parquet")
-    os.makedirs(agg_dir, exist_ok=True)
-    pq.write_table(pa_table, os.path.join(agg_dir, "part-00000.parquet"))
+    fs.makedirs(agg_dir)
+    buf = pa.BufferOutputStream()
+    pq.write_table(pa_table, buf)
+    fs.write_bytes_atomic(
+        os.path.join(agg_dir, "part-00000.parquet"),
+        buf.getvalue().to_pybytes(),
+    )
 
     all_metrics = {
         route: e["metrics"] for route, e in manifest.data["routes"].items()

@@ -42,9 +42,42 @@ class EsqlValidationError(ValueError):
     pass
 
 
+def _quote_segments(s: str) -> list[tuple[bool, str]]:
+    """Split into (is_quoted, segment) runs — same single-pass scanning
+    as ``_split_pipes``. Rewrites (operator translation, placeholder
+    substitution) apply ONLY to unquoted segments, so a string literal
+    containing ``==`` or ``?name`` passes through untouched."""
+    segs: list[tuple[bool, str]] = []
+    buf: list[str] = []
+    quote = None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                segs.append((True, "".join(buf)))
+                buf, quote = [], None
+        elif ch in ("'", '"'):
+            if buf:
+                segs.append((False, "".join(buf)))
+            buf, quote = [ch], ch
+        else:
+            buf.append(ch)
+    if buf:
+        segs.append((quote is not None, "".join(buf)))
+    return segs
+
+
+def _sub_outside_quotes(s: str, fn) -> str:
+    return "".join(seg if quoted else fn(seg) for quoted, seg in _quote_segments(s))
+
+
 def validate_params(query: str, params: dict) -> None:
-    """Exact placeholder<->param matching (elasticsearch.rb:462-481)."""
-    placeholders = set(_PLACEHOLDER.findall(query))
+    """Exact placeholder<->param matching (elasticsearch.rb:462-481).
+    Placeholders inside string literals are literal text, not params."""
+    placeholders: set[str] = set()
+    for quoted, seg in _quote_segments(query):
+        if not quoted:
+            placeholders.update(_PLACEHOLDER.findall(seg))
     for name in list(placeholders) + list(params):
         if not _PLACEHOLDER_NAME.match(name):
             raise EsqlValidationError(
@@ -71,18 +104,117 @@ def _sql_literal(v) -> str:
 
 
 def _substitute(expr: str, params: dict) -> str:
-    return _PLACEHOLDER.sub(lambda m: _sql_literal(params[m.group(1)]), expr)
+    return _sub_outside_quotes(
+        expr, lambda seg: _PLACEHOLDER.sub(
+            lambda m: _sql_literal(params[m.group(1)]), seg
+        )
+    )
+
+
+# ES|QL functions whose Spark spelling differs (ESQL date coercion,
+# ESQL_PARSERS_BY_TYPE esql_executor.rb:8-10). Each maps to
+# (spark_name, swap_args): DATE_FORMAT/DATE_PARSE take (format, value)
+# in ES|QL but (value, format) in Spark SQL. DATE_TRUNC needs no
+# rewrite (same argument order in both).
+_ESQL_FN_MAP = {
+    "TO_DATETIME": "timestamp",  # cast-style 1-arg functions -> cast type
+    "TO_STRING": "string",
+    "TO_LONG": "bigint",
+    "TO_INTEGER": "int",
+    "TO_DOUBLE": "double",
+    "DATE_FORMAT": "date_format",  # 2-arg: ES|QL (fmt, v) -> Spark (v, fmt)
+    "DATE_PARSE": "to_timestamp",
+}
+_CAST_FNS = {"TO_DATETIME", "TO_STRING", "TO_LONG", "TO_INTEGER", "TO_DOUBLE"}
+_ESQL_FN_RE = re.compile(
+    r"\b(" + "|".join(_ESQL_FN_MAP) + r")\s*\(", re.I
+)
+
+
+def _parse_args(s: str, open_paren: int) -> tuple[list[str], int]:
+    """Top-level args of the call whose '(' is at ``open_paren``; returns
+    (args, index_past_close_paren). Quote- and paren-aware."""
+    depth, quote = 1, None
+    args: list[str] = []
+    buf: list[str] = []
+    i = open_paren + 1
+    while i < len(s):
+        ch = s[i]
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(buf).strip())
+                return args, i + 1
+            buf.append(ch)
+        elif ch == "," and depth == 1:
+            args.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    raise EsqlValidationError(f"unbalanced parens in {s!r}")
 
 
 def _translate_expr(expr: str) -> str:
-    """ES|QL expression -> Spark SQL expression.
-
-    The dialect subset used by the reference's specs maps nearly 1:1;
-    the notable differences are `==` for equality and `!=`.
+    """ES|QL expression -> Spark SQL expression (string literals are
+    never touched):
+    * ``==`` -> ``=``
+    * ``TO_DATETIME/TO_STRING/TO_LONG/TO_INTEGER/TO_DOUBLE(x)`` ->
+      ``cast(x as <type>)``
+    * ``DATE_FORMAT(fmt, d)`` -> ``date_format(d, fmt)`` and
+      ``DATE_PARSE(fmt, s)`` -> ``to_timestamp(s, fmt)`` (argument
+      order differs between the dialects)
+    Left-to-right single pass with recursion into call arguments, so
+    nested calls translate and nothing is rewritten twice.
     """
-    out = re.sub(r"==", "=", expr)
-    out = re.sub(r"(?<![<>!=])=(?!=)", "=", out)  # keep single = as-is
-    return out
+    out: list[str] = []
+    pos, quote = 0, None
+    while pos < len(expr):
+        ch = expr[pos]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+            pos += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            out.append(ch)
+            pos += 1
+            continue
+        m = _ESQL_FN_RE.match(expr, pos)
+        if m:
+            fn = m.group(1).upper()
+            args, end = _parse_args(expr, m.end() - 1)
+            args = [_translate_expr(a) for a in args]
+            target = _ESQL_FN_MAP[fn]
+            if fn in _CAST_FNS:
+                if len(args) != 1:
+                    raise EsqlValidationError(f"{fn} takes 1 argument")
+                out.append(f"cast({args[0]} as {target})")
+            else:
+                if len(args) != 2:
+                    raise EsqlValidationError(f"{fn} takes 2 arguments")
+                out.append(f"{target}({args[1]}, {args[0]})")
+            pos = end
+            continue
+        if expr.startswith("==", pos):
+            out.append("=")
+            pos += 2
+            continue
+        out.append(ch)
+        pos += 1
+    return "".join(out)
 
 
 def _split_pipes(query: str) -> list[str]:
@@ -358,9 +490,11 @@ def _apply_enrich(df: DataFrame, body: str, registry: dict[str, DataFrame]) -> D
             cols.append(F.col(src).alias(dest))
     else:
         cols = [F.col(c) for c in lk.columns if c != key]
+    # plain equality, NOT eqNullSafe: ES ENRICH never matches documents
+    # whose match field is missing — a NULL key falls through unenriched
     pre = lk.select(F.col(key).alias("_enrich_key"), *cols)
     out = df.join(
-        F.broadcast(pre), F.col(key).eqNullSafe(F.col("_enrich_key")), "left"
+        F.broadcast(pre), F.col(key) == F.col("_enrich_key"), "left"
     )
     return out.drop("_enrich_key")
 

@@ -187,7 +187,15 @@ def to_column(node, res: Callable[[str], Column]) -> Column:
         return res(node.field).isNotNull()
     if isinstance(node, Wildcard):
         if node.pattern.has_ref:
-            return res(node.field).like(node.pattern.expr())  # type: ignore[arg-type]
+            # interpolated pattern: apply the same ES-wildcard -> LIKE
+            # translation as the static path, on the Column (escape
+            # LIKE metachars in the data, then map * -> %, ? -> _)
+            pat = node.pattern.expr()
+            for search, repl in (
+                ("\\", "\\\\"), ("%", r"\%"), ("_", r"\_"), ("*", "%"), ("?", "_"),
+            ):
+                pat = F.replace(pat, F.lit(search), F.lit(repl))
+            return F.like(res(node.field), pat)
         return res(node.field).like(_like_pattern(node.pattern.value))
     if isinstance(node, Bool):
         if node.op == "not":
@@ -213,8 +221,12 @@ def _parse_query(node: dict):
         for k in ("must", "filter"):
             for c in _as_list(body.get(k)):
                 children.append(_parse_query(c))
+        # ES semantics: with must/filter present, minimum_should_match
+        # defaults to 0 — should clauses only affect scoring, never
+        # filtering. They gate the hit set only when the bool has no
+        # must/filter children (then the default is 1).
         should = [_parse_query(c) for c in _as_list(body.get("should"))]
-        if should:
+        if should and not children:
             children.append(Bool("or", tuple(should)) if len(should) > 1 else should[0])
         for c in _as_list(body.get("must_not")):
             children.append(Bool("not", (_parse_query(c),)))

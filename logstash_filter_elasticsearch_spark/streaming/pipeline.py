@@ -143,13 +143,17 @@ def stateful_first_seen(
         seen = state.exists
         for pdf in pdf_iter:
             if not seen and len(pdf):
-                if state_timeout_ms:
-                    state.setTimeoutDuration(state_timeout_ms)
                 state.update((True,))
                 seen = True
                 yield pdf.iloc[[0]]
         if seen and not state.exists:
             state.update((True,))
+        # GroupState clears any previously-set timeout on EVERY
+        # invocation for the key, so the idle-eviction clock must be
+        # re-armed each time the key sees traffic — otherwise hot keys
+        # never expire and state grows unbounded.
+        if state_timeout_ms and state.exists:
+            state.setTimeoutDuration(state_timeout_ms)
 
     return stream.groupBy(key_col).applyInPandasWithState(
         emit_first,

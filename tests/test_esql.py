@@ -224,3 +224,70 @@ def test_enrich_unknown_policy(spark):
     df = spark.createDataFrame([(1,)], "id int")
     with pytest.raises(EsqlValidationError):
         run_esql(spark, "FROM t | ENRICH nope ON id", tables={"t": df})
+
+
+def test_quoted_literals_untouched(spark, esql_docs):
+    """`==` and `?name` inside string literals are literal text, not
+    operators/placeholders (quote-aware translation + substitution)."""
+    from logstash_filter_elasticsearch_spark.plans.esql import _translate_expr
+
+    assert _translate_expr("note == 'a==b'") == "note = 'a==b'"
+    assert _translate_expr('x == "?q"') == 'x = "?q"'
+
+    df = spark.createDataFrame([("a==b",), ("a=b",)], "note string")
+    out = run_esql(spark, "FROM t | WHERE note == 'a==b'", tables={"t": df})
+    assert [r["note"] for r in out.collect()] == ["a==b"]
+
+    # ?x inside a literal requires NO param; a real ?y still resolves
+    df2 = spark.createDataFrame([("?x", 1), ("z", 2)], "note string, n int")
+    out2 = run_esql(
+        spark,
+        "FROM t | WHERE note == '?x' AND n == ?y",
+        params={"y": 1},
+        tables={"t": df2},
+    )
+    assert out2.count() == 1
+    with pytest.raises(EsqlValidationError):
+        run_esql(spark, "FROM t | WHERE n == ?y", tables={"t": df2})
+
+
+def test_esql_date_functions(spark):
+    """ES|QL date coercion (ESQL_PARSERS_BY_TYPE, esql_executor.rb:8-10):
+    TO_DATETIME cast, DATE_TRUNC, DATE_FORMAT/DATE_PARSE arg order."""
+    df = spark.createDataFrame(
+        [("2024-03-05 10:30:00", 1), ("2024-03-05 23:10:00", 2),
+         ("2024-03-06 00:00:01", 3)],
+        "ts string, n int",
+    )
+    out = run_esql(
+        spark,
+        "FROM t | EVAL day = DATE_FORMAT('yyyy-MM-dd', DATE_TRUNC('day', TO_DATETIME(ts))) "
+        "| STATS cnt = count(*) BY day | SORT day",
+        tables={"t": df},
+    )
+    assert [(r["day"], r["cnt"]) for r in out.collect()] == [
+        ("2024-03-05", 2), ("2024-03-06", 1),
+    ]
+    out2 = run_esql(
+        spark,
+        "FROM t | WHERE TO_DATETIME(ts) >= DATE_PARSE('yyyy-MM-dd', '2024-03-06') "
+        "| KEEP n",
+        tables={"t": df},
+    )
+    assert [r["n"] for r in out2.collect()] == [3]
+
+
+def test_enrich_null_key_not_matched(spark):
+    """ES ENRICH never matches documents missing the match field —
+    NULL keys fall through unenriched (no eqNullSafe join)."""
+    events = spark.createDataFrame([(1, "k1"), (2, None)], "eid int, k string")
+    lk = spark.createDataFrame(
+        [("k1", "v1"), (None, "vnull")], "k string, val string"
+    )
+    out = run_esql(
+        spark,
+        "FROM e | ENRICH lk ON k WITH val | SORT eid",
+        tables={"e": events, "lk": lk},
+    )
+    rows = {r["eid"]: r["val"] for r in out.collect()}
+    assert rows == {1: "v1", 2: None}

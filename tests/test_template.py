@@ -271,3 +271,83 @@ def test_no_python_in_template_plan(tiny):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_wildcard_with_event_ref_translates(tiny):
+    """Interpolated wildcard patterns get the same ES->LIKE translation
+    as static ones: * maps to %, and %/_ in DATA are escaped."""
+    events, lookup = tiny
+    events = events.withColumn("prefix", F.lit("a"))
+    out = enrich_with_template(
+        events,
+        lookup,
+        {
+            "size": 10,
+            "sort": [{"price": "asc"}],
+            "query": {
+                "bool": {
+                    "must": [
+                        {"term": {"custkey": "%{[user_id]}"}},
+                        {"wildcard": {"name": "%{[prefix]}*"}},
+                    ]
+                }
+            },
+        },
+        fields={"name": "names"},
+    )
+    rows = {r.event_id: r.names for r in out.collect()}
+    assert rows[1] == ["a"] and rows[2] is None
+
+
+def test_wildcard_ref_escapes_like_metachars(spark):
+    """A literal % in the interpolated pattern must NOT act as LIKE
+    wildcard; only * and ? do."""
+    events = spark.createDataFrame([(1, 1, "100%")], "event_id int, user_id int, pat string")
+    lookup = spark.createDataFrame(
+        [(1, "100%", 1.0), (1, "100x", 2.0)], "custkey int, name string, price double"
+    )
+    out = enrich_with_template(
+        events,
+        lookup,
+        {
+            "size": 10,
+            "sort": [{"price": "asc"}],
+            "query": {
+                "bool": {
+                    "must": [
+                        {"term": {"custkey": "%{[user_id]}"}},
+                        {"wildcard": {"name": "%{[pat]}*"}},
+                    ]
+                }
+            },
+        },
+        fields={"name": "names"},
+    )
+    assert out.collect()[0]["names"] == ["100%"]  # not 100x
+
+
+def test_bool_should_is_non_filtering_with_must():
+    """ES: minimum_should_match defaults to 0 when must/filter present —
+    should never narrows the hit set then; alone, it filters."""
+    import json as _json
+
+    t = compile_template(
+        _json.dumps(
+            {
+                "query": {
+                    "bool": {
+                        "must": [{"term": {"a": 1}}],
+                        "should": [{"term": {"b": 2}}],
+                    }
+                }
+            }
+        )
+    )
+    assert t.root == Term("a", Lit(1))  # should dropped from filter plan
+
+    t2 = compile_template(
+        _json.dumps({"query": {"bool": {"should": [
+            {"term": {"b": 2}}, {"term": {"b": 3}},
+        ]}}})
+    )
+    assert isinstance(t2.root, Bool) and t2.root.op == "or"

@@ -281,3 +281,57 @@ def test_lsh_near_dup_finds_planted(spark):
     M = planted / np.linalg.norm(planted, axis=1, keepdims=True)
     for a, b in got:
         assert float(M[a] @ M[b]) >= 0.99 - 1e-6
+
+
+def test_df_cap_drops_stop_shingles_keeps_others(spark):
+    # 12 docs all share one stop-shingle ("aaa bbb ccc"); docs 1/2 are
+    # near-dups through their OTHER shingles. With df_cap below 12 the
+    # stop-shingle is excluded from pair generation: the 1-2 pair
+    # survives via its distinctive shingles, while pairs held together
+    # ONLY by the stop-shingle disappear.
+    rows = [(1, "aaa bbb ccc one two three four five"),
+            (2, "aaa bbb ccc one two three four six")] + [
+        (i, f"aaa bbb ccc w{i}a w{i}b w{i}c") for i in range(3, 13)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.01,
+                                     df_cap=None).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.01,
+                                     df_cap=5).collect()
+    }
+    assert (1, 2) in uncapped and (1, 2) in capped
+    assert (3, 4) in uncapped  # stop-shingle-only pair exists uncapped
+    assert (3, 4) not in capped  # ...and is dropped by the cap
+    assert capped == {(1, 2)}
+
+    # below the cap, results identical to exact
+    loose = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.01,
+                                     df_cap=100).collect()
+    }
+    assert loose == uncapped
+
+
+def test_minhash_bucket_cap_backstop(spark, docs_df):
+    # With a generous cap results are identical to the uncapped path;
+    # with cap=1 every bucket is "heavy" and no candidates survive.
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs_df, "doc_id", "text",
+                                   threshold=0.5, bucket_cap=None).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs_df, "doc_id", "text",
+                                   threshold=0.5, bucket_cap=100).collect()
+    }
+    assert base == capped and (1, 4) in base
+    assert minhash_lsh_pairs(docs_df, "doc_id", "text",
+                             threshold=0.5, bucket_cap=1).count() == 0
