@@ -734,6 +734,91 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_aggregation_terms(spark, sf_dir):
+    """A8/B7 bucket aggregations: a named `terms` aggregation copied per
+    event as the whole buckets array (reference copies whole aggregation
+    objects, dsl_executor.rb:71-77; spec elasticsearch_dsl_spec.rb:157-178).
+    ES terms order: doc_count desc, key asc; default size 10."""
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    spec = EnrichSpec(
+        event_key="user_id",
+        lookup_key="o_custkey",
+        aggregation_fields={"status_terms": ("terms", "o_orderstatus", 10)},
+        result_size=0,
+    )
+    out = Enricher(spec).apply(events, orders)
+    return out.select(
+        "event_id",
+        F.to_json("status_terms").alias("status_terms_json"),
+        "matched",
+    )
+
+
+def q_esql_first_row(spark, sf_dir):
+    """A16: no target -> only the FIRST result row maps onto the event
+    root, plus [@metadata][total_values] (esql_executor.rb:102-108)."""
+    from logstash_filter_elasticsearch_spark.plans.esql import first_row_to_root
+
+    tables = {"events": _t(spark, sf_dir, "events")}
+    df = run_esql(
+        spark,
+        "FROM events | WHERE event_type == 'purchase' "
+        "| KEEP event_id, user_id, value",
+        tables=tables,
+    )
+    return first_row_to_root(df, order_by=[F.asc("event_id")])
+
+
+def q_esql_rows_to_target(spark, sf_dir):
+    """A17/A18/A20: all rows -> array of nested structs under target;
+    dotted columns nest (esql_executor.rb:88-101,120-151). The array is
+    sorted for a deterministic cross-engine comparison."""
+    from logstash_filter_elasticsearch_spark.plans.esql import rows_to_target_array
+
+    tables = {"events": _t(spark, sf_dir, "events")}
+    base = run_esql(
+        spark,
+        "FROM events | WHERE user_id == 1 | KEEP event_id, user_id",
+        tables=tables,
+    )
+    df = base.withColumn("u.id", F.col("user_id")).drop("user_id")
+    out = rows_to_target_array(df, "hits")
+    return out.select(
+        F.to_json(F.array_sort("hits")).alias("hits_json"),
+        "_meta_total_values",
+    )
+
+
+def q_esql_total_values(spark, sf_dir):
+    """A20: [@metadata][total_values] = result row count attached to
+    every row (esql_executor.rb:79)."""
+    from logstash_filter_elasticsearch_spark.plans.esql import with_total_values
+
+    tables = {"events": _t(spark, sf_dir, "events")}
+    df = run_esql(
+        spark,
+        "FROM events | WHERE event_type == 'error' | KEEP event_id, user_id",
+        tables=tables,
+    )
+    return with_total_values(df)
+
+
+def q_esql_date_trunc(spark, sf_dir):
+    """A15 date coercion end-to-end: TO_DATETIME cast + DATE_TRUNC +
+    DATE_FORMAT over the events timestamp column
+    (ESQL_PARSERS_BY_TYPE, esql_executor.rb:8-10)."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    return run_esql(
+        spark,
+        "FROM events "
+        "| EVAL day = DATE_TRUNC('day', TO_DATETIME(ts)) "
+        "| EVAL day_s = DATE_FORMAT('yyyy-MM-dd', day) "
+        "| STATS cnt = count(*) BY day, day_s | SORT day | LIMIT 50",
+        tables=tables,
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -781,6 +866,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_nesting": q_target_nesting,
         "esql_stats_multi": q_esql_stats_multi,
         "index_wildcard": q_index_wildcard,
+        "aggregation_terms": q_aggregation_terms,
+        "esql_first_row": q_esql_first_row,
+        "esql_rows_to_target": q_esql_rows_to_target,
+        "esql_total_values": q_esql_total_values,
+        "esql_date_trunc": q_esql_date_trunc,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1287,6 +1377,51 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, b.v), 5) AS cos
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        """,
+        "aggregation_terms": """
+            WITH b AS (
+              SELECT o_custkey, o_orderstatus AS key, count(*) AS doc_count
+              FROM orders GROUP BY 1, 2
+            ), g AS (
+              SELECT o_custkey,
+                     to_json(list(struct_pack(key := key, doc_count := doc_count)
+                                  ORDER BY doc_count DESC, key)[1:10])
+                       AS status_terms_json
+              FROM b GROUP BY 1
+            )
+            SELECT e.event_id, g.status_terms_json,
+                   (g.o_custkey IS NOT NULL) AS matched
+            FROM events e LEFT JOIN g ON e.user_id = g.o_custkey
+        """,
+        "esql_first_row": """
+            SELECT event_id, user_id, value,
+                   (SELECT count(*) FROM events WHERE event_type = 'purchase')
+                     AS _meta_total_values
+            FROM events WHERE event_type = 'purchase'
+            ORDER BY event_id LIMIT 1
+        """,
+        "esql_rows_to_target": """
+            SELECT to_json(list(
+                     struct_pack(event_id := event_id,
+                                 u := struct_pack(id := user_id))
+                     ORDER BY event_id)) AS hits_json,
+                   count(*) AS _meta_total_values
+            FROM events WHERE user_id = 1
+        """,
+        "esql_total_values": """
+            SELECT event_id, user_id,
+                   (SELECT count(*) FROM events WHERE event_type = 'error')
+                     AS _meta_total_values
+            FROM events WHERE event_type = 'error'
+        """,
+        "esql_date_trunc": """
+            -- DuckDB date_trunc('day') yields DATE; cast back to
+            -- TIMESTAMP to match Spark's type
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                   strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d')
+                     AS day_s,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2 ORDER BY day LIMIT 50
         """,
         "simhash": _simhash_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),

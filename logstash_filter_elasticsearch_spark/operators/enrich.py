@@ -93,8 +93,14 @@ class EnrichSpec:
     docinfo_fields: dict[str, str] = field(default_factory=dict)
     # dest column -> (agg_fn_name, src path) over the FULL key group
     # (aggregations are computed over all matching docs, not the top-k:
-    #  request_size0_agg.json + spec elasticsearch_dsl_spec.rb:157-178)
-    aggregation_fields: dict[str, tuple[str, str]] = field(default_factory=dict)
+    #  request_size0_agg.json + spec elasticsearch_dsl_spec.rb:157-178).
+    # The reference copies the whole named aggregation OBJECT
+    # (dsl_executor.rb:71-77) — metric aggs carry a scalar, bucket aggs
+    # carry a buckets array. Metric form: ("sum"|"avg"|..., path) ->
+    # scalar column. Bucket form: ("terms", path[, size]) ->
+    # array<struct<key, doc_count>> ordered doc_count desc, key asc
+    # (ES terms default order; default size 10).
+    aggregation_fields: dict[str, tuple] = field(default_factory=dict)
     result_size: int = 1  # elasticsearch.rb:130-131; 0 = agg-only search
     sort: list[tuple[str, str]] = field(default_factory=lambda: [("@timestamp", "desc")])
     enable_sort: bool = True  # elasticsearch.rb:127-128
@@ -157,10 +163,56 @@ class Enricher:
             top_cols = [c for c in self._hit_paths() if c in present]
             hit_struct = F.struct(*[F.col(c).alias(c) for c in top_cols])
             aggs.append(F.collect_list(hit_struct).alias("_hits_all"))
-        for dest, (fn, path) in spec.aggregation_fields.items():
-            aggs.append(getattr(F, fn)(F.col(field_ref_to_path(path))).alias(dest))
+        bucket_aggs: dict[str, tuple] = {}
+        for dest, agg_spec in spec.aggregation_fields.items():
+            fn, path = agg_spec[0], agg_spec[1]
+            if fn == "terms":
+                bucket_aggs[dest] = (path, agg_spec[2] if len(agg_spec) > 2 else 10)
+            else:
+                aggs.append(getattr(F, fn)(F.col(field_ref_to_path(path))).alias(dest))
 
         grouped = lookup.groupBy(F.col(spec.lookup_key).alias("_join_key")).agg(*aggs)
+
+        # bucket (terms) aggregations: a second, two-level aggregation on
+        # the SMALL side only — (key, value) counts, then per key the
+        # top-`size` buckets as array<struct<key, doc_count>> in ES terms
+        # order (doc_count desc, key asc via a natural-sortable carrier
+        # struct). Joined back pre-broadcast, so the big side still sees
+        # one ready-made row per join key.
+        for dest, (path, size) in bucket_aggs.items():
+            val = F.col(field_ref_to_path(path))
+            counts = (
+                lookup.groupBy(
+                    F.col(spec.lookup_key).alias("_join_key"), val.alias("_k")
+                )
+                .agg(F.count(F.lit(1)).alias("_dc"))
+                .groupBy("_join_key")
+                .agg(
+                    F.slice(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    (-F.col("_dc")).alias("_neg"),
+                                    F.col("_k").alias("key"),
+                                    F.col("_dc").alias("doc_count"),
+                                )
+                            )
+                        ),
+                        1,
+                        size,
+                    ).alias("_buckets")
+                )
+                .select(
+                    "_join_key",
+                    F.transform(
+                        "_buckets",
+                        lambda b: F.struct(
+                            b["key"].alias("key"), b["doc_count"].alias("doc_count")
+                        ),
+                    ).alias(dest),
+                )
+            )
+            grouped = grouped.join(counts, "_join_key", "left")
 
         if not self._has_hits:
             return grouped

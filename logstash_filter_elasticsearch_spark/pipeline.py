@@ -153,6 +153,11 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     exactly the bytes that get committed, and the expensive
     parse+enrich work is never executed twice.
     """
+    import time as _time
+
+    phase_t: dict[str, float] = {}
+    t_start = _time.monotonic()
+
     fs = fs_for(cfg.out_dir, spark)
     fs.makedirs(cfg.out_dir)
     manifest = Manifest(os.path.join(cfg.out_dir, "_MANIFEST.json"), fs=fs)
@@ -173,9 +178,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     if committed_before:  # resume: skip already-committed sinks
         writable = writable.filter(~F.col("route").isin(sorted(committed_before)))
     writable = _apply_write_strategy(writable, cfg)
+    t0 = _time.monotonic()
     writable.write.mode("overwrite").partitionBy("route").format(
         cfg.sink_format
     ).save(staging)
+    phase_t["write_job_s"] = round(_time.monotonic() - t0, 3)
+    t0 = _time.monotonic()
 
     # staged dir names are Spark's %-escaped partition values; the
     # manifest/metrics key is the UNESCAPED route string, and the sink
@@ -208,6 +216,8 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
             }
             for r in agg_rows
         }
+        phase_t["metrics_agg_s"] = round(_time.monotonic() - t0, 3)
+        t0 = _time.monotonic()
         input_files = spark.read.parquet(cfg.sequences_path).inputFiles()
         for d in staged_dirs:
             route = urllib.parse.unquote(d.split("=", 1)[1])
@@ -226,6 +236,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
                     "lookup_path": cfg.lookup_path,
                 },
             )
+    phase_t["publish_s"] = round(_time.monotonic() - t0, 3)
     fs.delete(staging)
 
     # per-sink aggregates sink (rebuilt from the manifest every run).
@@ -262,6 +273,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     all_metrics = {
         route: e["metrics"] for route, e in manifest.data["routes"].items()
     }
+    phase_t["total_s"] = round(_time.monotonic() - t_start, 3)
     return {
         "run_id": run_id,
         "routes": all_metrics,
@@ -269,4 +281,5 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         "skipped_previously_committed": sorted(committed_before),
         "total_rows": sum(m["rows"] for m in all_metrics.values()),
         "total_tokens": sum(m["sum_n_tok"] for m in all_metrics.values()),
+        "phase_seconds": phase_t,
     }

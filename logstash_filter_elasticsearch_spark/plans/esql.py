@@ -524,6 +524,26 @@ def rows_to_target_array(df: DataFrame, target: str) -> DataFrame:
     )
 
 
+def rows_to_target_json(df: DataFrame, target: str) -> DataFrame:
+    """Rows -> target array with PER-ROW null-column dropping.
+
+    The reference drops null columns from each row independently before
+    mapping it into the target array (esql_executor.rb:93-99 via
+    ``row.reject { |_, v| v.nil? }``). A fixed-schema struct array can't
+    express per-row shapes, so this faithful variant renders each row as
+    a JSON object (Spark's ``to_json`` omits null fields by default) —
+    one row with ``target: array<string>`` plus total_values.
+    ``rows_to_target_array`` remains the fixed-schema (nulls retained)
+    variant for consumers that need typed columns.
+    """
+    struct_fields = nest_dotted(df.columns)
+    packed = df.select(F.to_json(F.struct(*struct_fields)).alias("_row"))
+    return packed.agg(
+        F.collect_list("_row").alias(target),
+        F.count(F.lit(1)).alias("_meta_total_values"),
+    )
+
+
 def first_row_to_root(df: DataFrame, order_by: list | None = None) -> DataFrame:
     """Only the FIRST row maps onto the event root when no target is set
     (esql_executor.rb:102-108; docs/index.asciidoc:172-174). Explicit

@@ -58,11 +58,14 @@ def get_spark(
         # lookup snapshots are broadcast; be generous (driver has RAM)
         .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        # zstd beats snappy on token-array payloads here: smaller output
-        # means fewer freshly-touched pages at the sink, and page faults
-        # are the scarce resource on this VM class (measured 6.0s snappy
-        # vs 4.0s zstd for the same 2M-row partitioned write)
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        # snappy: re-measured on the 8M-row fan-out write under honest
+        # core pinning (taskset + ActiveProcessorCount): snappy beats
+        # zstd at every level (L2 47.4s vs 55.0s, L8 16.4s vs 18.3s
+        # best-of-3) AND is stable run-to-run (±5% vs zstd's ±15% —
+        # zstd-jni's JNI critical sections interact badly with G1 under
+        # many allocating threads). An earlier 2M-row measurement had
+        # preferred zstd; the larger honest measurement wins.
+        .config("spark.sql.parquet.compression.codec", "snappy")
         # Dynamic-partition writes stay on Spark's default SORT-based
         # writer (maxConcurrentOutputFileWriters=0): concurrent writers
         # hold one untracked ~128MB parquet buffer per open file per

@@ -185,3 +185,40 @@ def test_non_broadcast_path_identical(spark, seq_data):
         }
 
     assert run(True) == run(False)
+
+
+def test_terms_bucket_aggregation(spark, tables):
+    """The reference copies the whole named aggregation object
+    (dsl_executor.rb:71-77); a `terms` aggregation carries a buckets
+    array ordered doc_count desc, key asc (default size 10)."""
+    events, lookup = tables
+    spec = EnrichSpec(
+        event_key="key",
+        lookup_key="join_key",
+        aggregation_fields={
+            "idx_terms": ("terms", "_index"),
+            "bytes_sum": ("sum", "payload.bytes"),
+        },
+        result_size=0,
+    )
+    out = Enricher(spec).apply(events, lookup)
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert [
+        (b["key"], b["doc_count"]) for b in rows["e2"]["idx_terms"]
+    ] == [("idx-2", 2), ("idx-1", 1)]
+    assert [
+        (b["key"], b["doc_count"]) for b in rows["e1"]["idx_terms"]
+    ] == [("idx-1", 1)]
+    assert rows["e2"]["bytes_sum"] == 60  # metric aggs still work beside
+    assert rows["e3"]["idx_terms"] is None and not rows["e3"]["matched"]
+
+    # size cap
+    spec2 = EnrichSpec(
+        event_key="key",
+        lookup_key="join_key",
+        aggregation_fields={"idx_terms": ("terms", "_index", 1)},
+        result_size=0,
+    )
+    out2 = Enricher(spec2).apply(events, lookup)
+    r2 = {r["event_id"]: r for r in out2.collect()}
+    assert [(b["key"], b["doc_count"]) for b in r2["e2"]["idx_terms"]] == [("idx-2", 2)]

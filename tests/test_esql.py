@@ -291,3 +291,20 @@ def test_enrich_null_key_not_matched(spark):
     )
     rows = {r["eid"]: r["val"] for r in out.collect()}
     assert rows == {1: "v1", 2: None}
+
+
+def test_rows_to_target_json_drops_nulls_per_row(spark):
+    """Per-row null dropping (esql_executor.rb:93-99): a null column
+    vanishes from that row's object only; other rows keep it."""
+    from logstash_filter_elasticsearch_spark.plans.esql import rows_to_target_json
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, None, 5)], "a int, b string, c int"
+    )
+    row = rows_to_target_json(df.orderBy("a"), "hits").collect()[0]
+    objs = sorted(row["hits"])
+    assert row["_meta_total_values"] == 2
+    import json as _json
+    parsed = sorted((_json.loads(o) for o in objs), key=lambda d: d["a"])
+    assert parsed[0] == {"a": 1, "b": "x"}   # c dropped here
+    assert parsed[1] == {"a": 2, "c": 5}     # b dropped here
