@@ -819,6 +819,53 @@ def q_esql_date_trunc(spark, sf_dir):
     )
 
 
+def q_esql_scalar_fns(spark, sf_dir):
+    """A14/B10 scalar-function surface: TO_UPPER/SUBSTRING/LENGTH/LEFT/
+    STARTS_WITH/REPLACE (replace-all regex semantics) compiled to
+    codegen'd Spark expressions — the ES|QL functions a reference user
+    embeds in EVAL/WHERE (esql_executor.rb:59-63 passthrough)."""
+    tables = {"documents": _t(spark, sf_dir, "documents")}
+    return run_esql(
+        spark,
+        "FROM documents "
+        "| EVAL up = TO_UPPER(SUBSTRING(text, 1, 8)), tl = LENGTH(text), "
+        "src3 = LEFT(source, 3), isweb = STARTS_WITH(source, 'web'), "
+        "masked = REPLACE(SUBSTRING(text, 1, 12), '[aeiou]', '_') "
+        "| KEEP doc_id, up, tl, src3, isweb, masked",
+        tables=tables,
+    )
+
+
+def q_esql_case_mv(spark, sf_dir):
+    """A14 multivalue + conditional surface: literal-delimiter SPLIT
+    (regex metachar '{' stays inert), MV_COUNT/MV_LAST, variadic CASE."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    return run_esql(
+        spark,
+        "FROM events "
+        "| EVAL parts = SPLIT(props, '{'), np = MV_COUNT(parts), "
+        "last = MV_LAST(parts), "
+        "vclass = CASE(value >= 100, 'high', value >= 10, 'mid', 'low') "
+        "| KEEP event_id, np, last, vclass",
+        tables=tables,
+    )
+
+
+def q_esql_date_diff(spark, sf_dir):
+    """A15 date arithmetic: DATE_DIFF in complete units (truncating) +
+    DATE_EXTRACT, aggregated per hour-of-day."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    return run_esql(
+        spark,
+        "FROM events "
+        "| EVAL age_h = DATE_DIFF('hours', TO_DATETIME('2024-01-01'), ts), "
+        "hr = DATE_EXTRACT('hour', ts) "
+        "| STATS cnt = count(*), max_age_h = max(age_h) BY hr "
+        "| SORT hr",
+        tables=tables,
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -871,6 +918,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_rows_to_target": q_esql_rows_to_target,
         "esql_total_values": q_esql_total_values,
         "esql_date_trunc": q_esql_date_trunc,
+        "esql_scalar_fns": q_esql_scalar_fns,
+        "esql_case_mv": q_esql_case_mv,
+        "esql_date_diff": q_esql_date_diff,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1422,6 +1472,43 @@ def oracle_sql() -> dict[str, str]:
                      AS day_s,
                    count(*) AS cnt
             FROM events GROUP BY 1, 2 ORDER BY day LIMIT 50
+        """,
+        "esql_scalar_fns": """
+            SELECT doc_id,
+                   upper(substring(text, 1, 8)) AS up,
+                   CAST(length(text) AS INT) AS tl,
+                   left(source, 3) AS src3,
+                   starts_with(source, 'web') AS isweb,
+                   regexp_replace(substring(text, 1, 12), '[aeiou]', '_', 'g')
+                     AS masked
+            FROM documents
+        """,
+        "esql_case_mv": """
+            WITH s AS (
+              SELECT event_id, value, str_split(props, '{') AS parts
+              FROM events
+            )
+            SELECT event_id,
+                   CAST(len(parts) AS INT) AS np,
+                   parts[len(parts)] AS last,
+                   CASE WHEN value >= 100 THEN 'high'
+                        WHEN value >= 10 THEN 'mid'
+                        ELSE 'low' END AS vclass
+            FROM s
+        """,
+        "esql_date_diff": """
+            -- DATE_DIFF counts complete units (truncating); ts is always
+            -- after the 2024-01-01 epoch here so floor == trunc
+            WITH e AS (
+              SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)
+                                      - TIMESTAMP '2024-01-01') / 3600)
+                          AS BIGINT) AS age_h,
+                     CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS INT)
+                       AS hr
+              FROM events
+            )
+            SELECT hr, count(*) AS cnt, max(age_h) AS max_age_h
+            FROM e GROUP BY hr ORDER BY hr
         """,
         "simhash": _simhash_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),

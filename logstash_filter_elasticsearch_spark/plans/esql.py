@@ -111,24 +111,129 @@ def _substitute(expr: str, params: dict) -> str:
     )
 
 
-# ES|QL functions whose Spark spelling differs (ESQL date coercion,
-# ESQL_PARSERS_BY_TYPE esql_executor.rb:8-10). Each maps to
-# (spark_name, swap_args): DATE_FORMAT/DATE_PARSE take (format, value)
-# in ES|QL but (value, format) in Spark SQL. DATE_TRUNC needs no
-# rewrite (same argument order in both).
-_ESQL_FN_MAP = {
-    "TO_DATETIME": "timestamp",  # cast-style 1-arg functions -> cast type
+# ES|QL functions whose Spark spelling or shape differs. Functions that
+# share a name AND semantics with Spark SQL (LENGTH, SUBSTRING, CONCAT,
+# TRIM, LEFT, RIGHT, LOCATE, ABS, ROUND, CEIL, FLOOR, SQRT, POW, LOG,
+# EXP, COALESCE, GREATEST, LEAST, PI, E, DATE_TRUNC, ...) pass through
+# untouched. Three mapped classes below, plus custom emissions in
+# _translate_call for CASE / MV_SUM / MV_AVG / MV_FIRST / MV_LAST /
+# SPLIT / DATE_DIFF.
+_CAST_FNS = {  # 1-arg TO_<type> conversions (ESQL_PARSERS_BY_TYPE,
+    # esql_executor.rb:8-10) -> cast(x as <spark type>)
+    "TO_DATETIME": "timestamp",
     "TO_STRING": "string",
     "TO_LONG": "bigint",
     "TO_INTEGER": "int",
     "TO_DOUBLE": "double",
-    "DATE_FORMAT": "date_format",  # 2-arg: ES|QL (fmt, v) -> Spark (v, fmt)
+    "TO_BOOLEAN": "boolean",
+}
+_SWAP2_FNS = {  # 2-arg, ES|QL (format, value) -> Spark (value, format)
+    "DATE_FORMAT": "date_format",
     "DATE_PARSE": "to_timestamp",
 }
-_CAST_FNS = {"TO_DATETIME", "TO_STRING", "TO_LONG", "TO_INTEGER", "TO_DOUBLE"}
-_ESQL_FN_RE = re.compile(
-    r"\b(" + "|".join(_ESQL_FN_MAP) + r")\s*\(", re.I
+_RENAME_FNS = {  # same arg order, different Spark name
+    "TO_UPPER": "upper",
+    "TO_LOWER": "lower",
+    "STARTS_WITH": "startswith",
+    "ENDS_WITH": "endswith",
+    "REPLACE": "regexp_replace",  # both take (str, regex, replacement)
+    "MV_COUNT": "size",
+    "MV_MIN": "array_min",
+    "MV_MAX": "array_max",
+    "MV_DEDUPE": "array_distinct",
+    "MV_SORT": "array_sort",
+    "MV_CONCAT": "array_join",
+    "DATE_EXTRACT": "date_part",  # both take ('part', value)
+    "NOW": "current_timestamp",
+}
+_CUSTOM_FNS = {
+    "CASE", "MV_SUM", "MV_AVG", "MV_FIRST", "MV_LAST", "SPLIT", "DATE_DIFF",
+}
+# ES|QL DATE_DIFF unit names (incl. plural/abbreviated aliases) ->
+# Spark timestampdiff unit keywords
+_DATE_DIFF_UNITS = {}
+for _aliases, _unit in [
+    (("year", "years", "yy", "yyyy"), "YEAR"),
+    (("quarter", "quarters", "qq", "q"), "QUARTER"),
+    (("month", "months", "mm", "m"), "MONTH"),
+    (("week", "weeks", "wk", "ww"), "WEEK"),
+    (("day", "days", "dd", "d"), "DAY"),
+    (("hour", "hours", "hh"), "HOUR"),
+    (("minute", "minutes", "mi", "n"), "MINUTE"),
+    (("second", "seconds", "ss", "s"), "SECOND"),
+    (("millisecond", "milliseconds", "ms"), "MILLISECOND"),
+    (("microsecond", "microseconds", "mcs"), "MICROSECOND"),
+]:
+    for _a in _aliases:
+        _DATE_DIFF_UNITS[_a] = _unit
+
+_ALL_MAPPED_FNS = (
+    set(_CAST_FNS) | set(_SWAP2_FNS) | set(_RENAME_FNS) | _CUSTOM_FNS
 )
+# longest-first so MV_CONCAT can't half-match as MV_COUNT etc.
+_ESQL_FN_RE = re.compile(
+    r"\b("
+    + "|".join(sorted(_ALL_MAPPED_FNS, key=len, reverse=True))
+    + r")\s*\(",
+    re.I,
+)
+
+
+def _translate_call(fn: str, args: list[str]) -> str:
+    """Emit the Spark SQL spelling of one mapped ES|QL call (args are
+    already translated)."""
+
+    def arity(n: int) -> None:
+        if len(args) != n:
+            raise EsqlValidationError(f"{fn} takes {n} argument(s)")
+
+    if fn in _CAST_FNS:
+        arity(1)
+        return f"cast({args[0]} as {_CAST_FNS[fn]})"
+    if fn in _SWAP2_FNS:
+        arity(2)
+        return f"{_SWAP2_FNS[fn]}({args[1]}, {args[0]})"
+    if fn in _RENAME_FNS:
+        return f"{_RENAME_FNS[fn]}({', '.join(args)})"
+    if fn == "CASE":
+        # variadic CASE(c1, v1[, c2, v2, ...][, default])
+        if len(args) < 2:
+            raise EsqlValidationError("CASE needs at least (condition, value)")
+        if len(args) % 2:
+            pairs, default = args[:-1], args[-1]
+        else:
+            pairs, default = args, "NULL"
+        whens = " ".join(
+            f"WHEN {pairs[i]} THEN {pairs[i + 1]}"
+            for i in range(0, len(pairs), 2)
+        )
+        return f"(CASE {whens} ELSE {default} END)"
+    if fn in ("MV_SUM", "MV_AVG"):
+        arity(1)
+        total = f"aggregate({args[0]}, cast(0 as double), (acc, v) -> acc + v)"
+        return total if fn == "MV_SUM" else f"({total} / size({args[0]}))"
+    if fn == "MV_FIRST":
+        arity(1)
+        return f"element_at({args[0]}, 1)"
+    if fn == "MV_LAST":
+        arity(1)
+        return f"element_at({args[0]}, -1)"
+    if fn == "SPLIT":
+        # ES|QL SPLIT's delimiter is literal; Spark split()'s is a regex
+        # — \Q..\E-quote it so metacharacters in the delimiter are inert
+        arity(2)
+        return f"split({args[0]}, concat('\\\\Q', {args[1]}, '\\\\E'))"
+    if fn == "DATE_DIFF":
+        # DATE_DIFF('unit', start, end): difference in COMPLETE units
+        # (truncating), matching Spark's timestampdiff; the unit must be
+        # a literal (it becomes a keyword)
+        arity(3)
+        raw = args[0].strip().strip("'\"").lower()
+        unit = _DATE_DIFF_UNITS.get(raw)
+        if unit is None:
+            raise EsqlValidationError(f"DATE_DIFF: unknown unit {raw!r}")
+        return f"timestampdiff({unit}, {args[1]}, {args[2]})"
+    raise AssertionError(f"unhandled mapped fn {fn}")
 
 
 def _parse_args(s: str, open_paren: int) -> tuple[list[str], int]:
@@ -169,11 +274,13 @@ def _translate_expr(expr: str) -> str:
     """ES|QL expression -> Spark SQL expression (string literals are
     never touched):
     * ``==`` -> ``=``
-    * ``TO_DATETIME/TO_STRING/TO_LONG/TO_INTEGER/TO_DOUBLE(x)`` ->
-      ``cast(x as <type>)``
-    * ``DATE_FORMAT(fmt, d)`` -> ``date_format(d, fmt)`` and
-      ``DATE_PARSE(fmt, s)`` -> ``to_timestamp(s, fmt)`` (argument
-      order differs between the dialects)
+    * cast functions (``TO_DATETIME``/``TO_STRING``/... ->
+      ``cast(x as <type>)``), argument-order swaps (``DATE_FORMAT``/
+      ``DATE_PARSE``), renames (``TO_UPPER``/``STARTS_WITH``/``MV_*``/
+      ``DATE_EXTRACT``/...), and custom shapes (variadic ``CASE``,
+      ``MV_SUM``/``MV_AVG``/``MV_FIRST``/``MV_LAST``, literal-delimiter
+      ``SPLIT``, unit-keyword ``DATE_DIFF``) via ``_translate_call``;
+      same-name-same-semantics functions pass through untouched
     Left-to-right single pass with recursion into call arguments, so
     nested calls translate and nothing is rewritten twice.
     """
@@ -197,15 +304,9 @@ def _translate_expr(expr: str) -> str:
             fn = m.group(1).upper()
             args, end = _parse_args(expr, m.end() - 1)
             args = [_translate_expr(a) for a in args]
-            target = _ESQL_FN_MAP[fn]
-            if fn in _CAST_FNS:
-                if len(args) != 1:
-                    raise EsqlValidationError(f"{fn} takes 1 argument")
-                out.append(f"cast({args[0]} as {target})")
-            else:
-                if len(args) != 2:
-                    raise EsqlValidationError(f"{fn} takes 2 arguments")
-                out.append(f"{target}({args[1]}, {args[0]})")
+            if args == [""]:  # zero-arg call, e.g. NOW()
+                args = []
+            out.append(_translate_call(fn, args))
             pos = end
             continue
         if expr.startswith("==", pos):

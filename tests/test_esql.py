@@ -308,3 +308,76 @@ def test_rows_to_target_json_drops_nulls_per_row(spark):
     parsed = sorted((_json.loads(o) for o in objs), key=lambda d: d["a"])
     assert parsed[0] == {"a": 1, "b": "x"}   # c dropped here
     assert parsed[1] == {"a": 2, "c": 5}     # b dropped here
+
+
+def test_scalar_function_surface(spark, esql_docs):
+    """Mapped scalar functions: TO_UPPER rename, REPLACE->regexp_replace
+    (replace-ALL semantics), variadic CASE, STARTS_WITH."""
+    out = run_esql(
+        spark,
+        "FROM my_index | WHERE STARTS_WITH(message, 'test') "
+        "| EVAL up = TO_UPPER(LEFT(message, 4)), "
+        "masked = REPLACE(message, '[0-9]', '#'), "
+        "sz = CASE(count >= 4, 'big', count >= 2, 'mid', 'small') "
+        "| KEEP message, up, masked, sz | SORT message",
+        tables=esql_docs,
+    )
+    rows = out.collect()
+    assert len(rows) == 5  # 'odd test message' filtered out
+    assert rows[0]["up"] == "TEST"
+    assert rows[0]["masked"] == "test message #"
+    # CASE: count=3 -> mid, 5 -> big, 1 -> small, NULL conds -> default
+    by_msg = {r["message"]: r["sz"] for r in rows}
+    assert by_msg["test message 1"] == "mid"     # count 3
+    assert by_msg["test message 2"] == "big"     # count 5
+    assert by_msg["test message 3"] == "small"   # count 1
+
+
+def test_mv_functions_and_split(spark, esql_docs):
+    """SPLIT treats its delimiter literally (regex metachars inert);
+    MV_* family maps to array functions."""
+    out = run_esql(
+        spark,
+        "FROM my_index | WHERE type == 'a' "
+        "| EVAL parts = SPLIT(message, ' '), np = MV_COUNT(parts), "
+        "first = MV_FIRST(parts), last = MV_LAST(parts), "
+        "joined = MV_CONCAT(MV_SORT(MV_DEDUPE(parts)), '-') "
+        "| KEEP message, np, first, last, joined | SORT message",
+        tables=esql_docs,
+    )
+    r = out.collect()[0]
+    assert (r["np"], r["first"], r["last"]) == (3, "test", "1")
+    assert r["joined"] == "1-message-test"
+    # literal-metachar delimiter: '(' must not be a regex group
+    out2 = run_esql(
+        spark,
+        "FROM my_index | WHERE type == 'c' "
+        "| EVAL parts = SPLIT(CONCAT(message, '(x'), '('), n = MV_COUNT(parts) "
+        "| KEEP n",
+        tables=esql_docs,
+    )
+    assert out2.collect()[0]["n"] == 2
+
+
+def test_date_diff_and_extract(spark):
+    """DATE_DIFF counts COMPLETE units (truncating) with unit aliases;
+    DATE_EXTRACT maps to date_part."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-02 23:59:00")], "a string, b string"
+    )
+    out = run_esql(
+        spark,
+        "FROM t | EVAL d = DATE_DIFF('days', TO_DATETIME(a), TO_DATETIME(b)), "
+        "h = DATE_DIFF('hour', TO_DATETIME(a), TO_DATETIME(b)), "
+        "hr = DATE_EXTRACT('hour', TO_DATETIME(b)) | KEEP d, h, hr",
+        tables={"t": df},
+    )
+    r = out.collect()[0]
+    assert (r["d"], r["h"], r["hr"]) == (1, 47, 23)
+
+    with pytest.raises(EsqlValidationError):
+        run_esql(
+            spark,
+            "FROM t | EVAL d = DATE_DIFF('fortnight', TO_DATETIME(a), TO_DATETIME(b))",
+            tables={"t": df},
+        )
