@@ -507,14 +507,17 @@ def q_esql_mv_expand(spark, sf_dir):
 # ---- rows-only queries (no SQL-expressible oracle: seeded xxhash64 / planes)
 
 def q_esql_stats_percentile(spark, sf_dir):
-    """B7 distribution aggregates: exact median + interpolated p90
-    (ES|QL MEDIAN/PERCENTILE; Spark and DuckDB share the linear-
-    interpolation definition)."""
+    """B7 distribution aggregates: exact median + interpolated p90 +
+    distinct count (ES|QL MEDIAN/PERCENTILE/COUNT_DISTINCT; PERCENTILE
+    takes 0-100 per the ES|QL dialect and is mapped to Spark's 0-1
+    fraction; Spark and DuckDB share the linear-interpolation
+    definition)."""
     tables = {"orders": _t(spark, sf_dir, "orders")}
     return run_esql(
         spark,
-        "FROM orders | STATS med = round(median(o_totalprice), 4), "
-        "p90 = round(percentile(o_totalprice, 0.9), 4) "
+        "FROM orders | STATS med = round(MEDIAN(o_totalprice), 4), "
+        "p90 = round(PERCENTILE(o_totalprice, 90), 4), "
+        "ucnt = COUNT_DISTINCT(o_custkey) "
         "BY o_orderstatus | SORT o_orderstatus",
         tables=tables,
     )
@@ -589,13 +592,17 @@ def q_target_nesting(spark, sf_dir):
 
 
 def q_esql_stats_multi(spark, sf_dir):
-    """B7/B8 richer aggregate surface: avg/min/max/count(distinct)."""
+    """B7/B8 richer aggregate surface: avg/min/max/count(distinct) plus
+    ES|QL per-aggregate filtering (`agg() WHERE cond` -> SQL
+    FILTER (WHERE ...) — map-side conditional accumulation, one pass)."""
     tables = {"orders": _t(spark, sf_dir, "orders")}
     return run_esql(
         spark,
         "FROM orders | STATS n = count(*), custs = count(distinct o_custkey), "
         "avg_price = round(avg(o_totalprice), 2), lo = round(min(o_totalprice), 2), "
-        "hi = round(max(o_totalprice), 2) BY o_orderstatus | SORT o_orderstatus",
+        "hi = round(max(o_totalprice), 2), "
+        "n_urgent = count(*) WHERE o_orderpriority == '1-URGENT' "
+        "BY o_orderstatus | SORT o_orderstatus",
         tables=tables,
     )
 
@@ -1376,7 +1383,8 @@ def oracle_sql() -> dict[str, str]:
         "esql_stats_percentile": """
             SELECT o_orderstatus,
                    round(median(o_totalprice), 4) AS med,
-                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                   count(DISTINCT o_custkey) AS ucnt
             FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "esql_like_in": """
@@ -1412,7 +1420,9 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT o_custkey) AS custs,
                    round(avg(o_totalprice), 2) AS avg_price,
                    round(min(o_totalprice), 2) AS lo,
-                   round(max(o_totalprice), 2) AS hi
+                   round(max(o_totalprice), 2) AS hi,
+                   count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                     AS n_urgent
             FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "index_wildcard": """

@@ -247,7 +247,10 @@ def run_scaling(data_dir: str, levels=(2, 8, 32), trials: int | None = None) -> 
     memory bus and local disks). Both pairs are printed; nothing is
     hidden.
     """
-    trials = trials or int(os.environ.get("LFES_BENCH_TRIALS", str(BENCH_REPS)))
+    # 5 interleaved trials by default: the median of 5 paired ratios is
+    # robust to one or two steal-polluted windows (observed per-trial
+    # efficiency spread 0.57-0.74 in a single invocation)
+    trials = trials or int(os.environ.get("LFES_BENCH_TRIALS", "5"))
     # tmpfs when available: the scaling measurement targets compute +
     # shuffle, not the sandbox's disk throughput
     out_root = "/dev/shm/lfes_bench_out" if os.path.isdir("/dev/shm") else os.path.join(

@@ -148,6 +148,7 @@ _RENAME_FNS = {  # same arg order, different Spark name
 }
 _CUSTOM_FNS = {
     "CASE", "MV_SUM", "MV_AVG", "MV_FIRST", "MV_LAST", "SPLIT", "DATE_DIFF",
+    "COUNT_DISTINCT", "PERCENTILE",
 }
 # ES|QL DATE_DIFF unit names (incl. plural/abbreviated aliases) ->
 # Spark timestampdiff unit keywords
@@ -223,6 +224,13 @@ def _translate_call(fn: str, args: list[str]) -> str:
         # — \Q..\E-quote it so metacharacters in the delimiter are inert
         arity(2)
         return f"split({args[0]}, concat('\\\\Q', {args[1]}, '\\\\E'))"
+    if fn == "COUNT_DISTINCT":
+        arity(1)
+        return f"count(distinct {args[0]})"
+    if fn == "PERCENTILE":
+        # ES|QL percent is 0-100; Spark percentile() takes a 0-1 fraction
+        arity(2)
+        return f"percentile({args[0]}, ({args[1]}) / 100)"
     if fn == "DATE_DIFF":
         # DATE_DIFF('unit', start, end): difference in COMPLETE units
         # (truncating), matching Spark's timestampdiff; the unit must be
@@ -365,6 +373,44 @@ def _split_commas(s: str) -> list[str]:
     return parts
 
 
+def _stats_agg_expr(item: str):
+    """One STATS aggregate, supporting ES|QL's per-aggregate filter
+    ``agg_fn(x) WHERE cond``: compiled to SQL's ``FILTER (WHERE cond)``
+    clause (map-side conditional aggregation — no pre-filter pass, no
+    second scan; Spark and DuckDB share the clause). The WHERE keyword
+    is located with the same quote/paren-aware scan as the splitters so
+    a literal containing ' where ' is never misparsed."""
+    depth, quote = 0, None
+    up = item.upper()
+    where_at = -1
+    for i, ch in enumerate(item):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and up.startswith("WHERE", i)
+            and (i == 0 or not (item[i - 1].isalnum() or item[i - 1] == "_"))
+            and (
+                i + 5 >= len(item)
+                or not (item[i + 5].isalnum() or item[i + 5] == "_")
+            )
+        ):
+            where_at = i
+            break
+    if where_at < 0:
+        return F.expr(_translate_expr(item))
+    agg = _translate_expr(item[:where_at].strip())
+    cond = _translate_expr(item[where_at + 5 :].strip())
+    return F.expr(f"{agg} FILTER (WHERE {cond})")
+
+
 def _resolve_from(
     spark: SparkSession, spec: str, tables: dict[str, DataFrame] | None
 ) -> DataFrame:
@@ -434,9 +480,11 @@ def run_esql(
             for item in _split_commas(body):
                 if "=" in item.split("(")[0]:
                     name, expr = item.split("=", 1)
-                    aggs.append(F.expr(_translate_expr(expr.strip())).alias(name.strip()))
+                    aggs.append(
+                        _stats_agg_expr(expr.strip()).alias(name.strip())
+                    )
                 else:
-                    aggs.append(F.expr(_translate_expr(item)))
+                    aggs.append(_stats_agg_expr(item))
             df = df.groupBy(*by_cols).agg(*aggs) if by_cols else df.agg(*aggs)
         elif cmd == "SORT":
             order = []

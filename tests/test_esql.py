@@ -381,3 +381,18 @@ def test_date_diff_and_extract(spark):
             "FROM t | EVAL d = DATE_DIFF('fortnight', TO_DATETIME(a), TO_DATETIME(b))",
             tables={"t": df},
         )
+
+
+def test_stats_per_aggregate_where(spark, esql_docs):
+    """ES|QL STATS per-aggregate filter: `agg() WHERE cond` compiles to
+    SQL FILTER (WHERE ...) — one pass, conditional accumulation."""
+    out = run_esql(
+        spark,
+        "FROM my_index | STATS total = count(*), "
+        "big = count(*) WHERE count >= 3, "
+        "sum_small = sum(count) WHERE count < 3 "
+        "BY type | SORT type",
+        tables=esql_docs,
+    )
+    rows = [(r["type"], r["total"], r["big"], r["sum_small"]) for r in out.collect()]
+    assert rows == [("a", 2, 2, None), ("b", 2, 0, 3), ("c", 1, 1, None), ("t", 1, 0, None)]
