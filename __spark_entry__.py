@@ -762,6 +762,26 @@ def q_aggregation_terms(spark, sf_dir):
     )
 
 
+def q_aggregation_histogram(spark, sf_dir):
+    """A8/B7 histogram bucket aggregation copied whole per event:
+    buckets keyed floor(v/interval)*interval, key-ascending
+    (dsl_executor.rb:71-77 whole-object copy rule)."""
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    spec = EnrichSpec(
+        event_key="user_id",
+        lookup_key="o_custkey",
+        aggregation_fields={"price_hist": ("histogram", "o_totalprice", 50000)},
+        result_size=0,
+    )
+    out = Enricher(spec).apply(events, orders)
+    return out.select(
+        "event_id",
+        F.to_json("price_hist").alias("price_hist_json"),
+        "matched",
+    )
+
+
 def q_esql_first_row(spark, sf_dir):
     """A16: no target -> only the FIRST result row maps onto the event
     root, plus [@metadata][total_values] (esql_executor.rb:102-108)."""
@@ -822,6 +842,23 @@ def q_esql_date_trunc(spark, sf_dir):
         "| EVAL day = DATE_TRUNC('day', TO_DATETIME(ts)) "
         "| EVAL day_s = DATE_FORMAT('yyyy-MM-dd', day) "
         "| STATS cnt = count(*) BY day, day_s | SORT day | LIMIT 50",
+        tables=tables,
+    )
+
+
+def q_esql_lookup_join(spark, sf_dir):
+    """A14/B11 LOOKUP JOIN (ES|QL join command, ES 8.18+): broadcast
+    left join on the shared field name, lookup side wins collisions,
+    unmatched rows pass through with NULLs."""
+    tables = {
+        "events": _t(spark, sf_dir, "events"),
+        "customer": _t(spark, sf_dir, "customer"),
+    }
+    return run_esql(
+        spark,
+        "FROM events | RENAME user_id AS c_custkey "
+        "| LOOKUP JOIN customer ON c_custkey "
+        "| KEEP event_id, c_custkey, c_name, c_nationkey",
         tables=tables,
     )
 
@@ -921,10 +958,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_stats_multi": q_esql_stats_multi,
         "index_wildcard": q_index_wildcard,
         "aggregation_terms": q_aggregation_terms,
+        "aggregation_histogram": q_aggregation_histogram,
         "esql_first_row": q_esql_first_row,
         "esql_rows_to_target": q_esql_rows_to_target,
         "esql_total_values": q_esql_total_values,
         "esql_date_trunc": q_esql_date_trunc,
+        "esql_lookup_join": q_esql_lookup_join,
         "esql_scalar_fns": q_esql_scalar_fns,
         "esql_case_mv": q_esql_case_mv,
         "esql_date_diff": q_esql_date_diff,
@@ -1453,6 +1492,23 @@ def oracle_sql() -> dict[str, str]:
                    (g.o_custkey IS NOT NULL) AS matched
             FROM events e LEFT JOIN g ON e.user_id = g.o_custkey
         """,
+        "aggregation_histogram": """
+            WITH b AS (
+              SELECT o_custkey,
+                     floor(o_totalprice / 50000) * 50000 AS key,
+                     count(*) AS doc_count
+              FROM orders GROUP BY 1, 2
+            ), g AS (
+              SELECT o_custkey,
+                     to_json(list(struct_pack(key := key,
+                                              doc_count := doc_count)
+                                  ORDER BY key)) AS price_hist_json
+              FROM b GROUP BY 1
+            )
+            SELECT e.event_id, g.price_hist_json,
+                   (g.o_custkey IS NOT NULL) AS matched
+            FROM events e LEFT JOIN g ON e.user_id = g.o_custkey
+        """,
         "esql_first_row": """
             SELECT event_id, user_id, value,
                    (SELECT count(*) FROM events WHERE event_type = 'purchase')
@@ -1482,6 +1538,11 @@ def oracle_sql() -> dict[str, str]:
                      AS day_s,
                    count(*) AS cnt
             FROM events GROUP BY 1, 2 ORDER BY day LIMIT 50
+        """,
+        "esql_lookup_join": """
+            SELECT e.event_id, e.user_id AS c_custkey,
+                   c.c_name, c.c_nationkey
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         """,
         "esql_scalar_fns": """
             SELECT doc_id,

@@ -97,9 +97,11 @@ class EnrichSpec:
     # The reference copies the whole named aggregation OBJECT
     # (dsl_executor.rb:71-77) — metric aggs carry a scalar, bucket aggs
     # carry a buckets array. Metric form: ("sum"|"avg"|..., path) ->
-    # scalar column. Bucket form: ("terms", path[, size]) ->
+    # scalar column. Bucket forms: ("terms", path[, size]) ->
     # array<struct<key, doc_count>> ordered doc_count desc, key asc
-    # (ES terms default order; default size 10).
+    # (ES terms default order; default size 10); ("histogram", path,
+    # interval) -> array<struct<key double, doc_count>> with
+    # key = floor(v/interval)*interval, key-ascending, no size cap.
     aggregation_fields: dict[str, tuple] = field(default_factory=dict)
     result_size: int = 1  # elasticsearch.rb:130-131; 0 = agg-only search
     sort: list[tuple[str, str]] = field(default_factory=lambda: [("@timestamp", "desc")])
@@ -167,52 +169,78 @@ class Enricher:
         for dest, agg_spec in spec.aggregation_fields.items():
             fn, path = agg_spec[0], agg_spec[1]
             if fn == "terms":
-                bucket_aggs[dest] = (path, agg_spec[2] if len(agg_spec) > 2 else 10)
+                bucket_aggs[dest] = (
+                    fn, path, agg_spec[2] if len(agg_spec) > 2 else 10
+                )
+            elif fn == "histogram":
+                if len(agg_spec) < 3:
+                    raise ValueError("histogram aggregation needs an interval")
+                bucket_aggs[dest] = (fn, path, agg_spec[2])
             else:
                 aggs.append(getattr(F, fn)(F.col(field_ref_to_path(path))).alias(dest))
 
         grouped = lookup.groupBy(F.col(spec.lookup_key).alias("_join_key")).agg(*aggs)
 
-        # bucket (terms) aggregations: a second, two-level aggregation on
-        # the SMALL side only — (key, value) counts, then per key the
-        # top-`size` buckets as array<struct<key, doc_count>> in ES terms
-        # order (doc_count desc, key asc via a natural-sortable carrier
-        # struct). Joined back pre-broadcast, so the big side still sees
-        # one ready-made row per join key.
-        for dest, (path, size) in bucket_aggs.items():
+        # bucket (terms / histogram) aggregations: a second, two-level
+        # aggregation on the SMALL side only — (key, value) counts, then
+        # per key the buckets as array<struct<key, doc_count>>. terms:
+        # top-`size` in ES terms order (doc_count desc, key asc via a
+        # natural-sortable carrier struct). histogram: every
+        # floor(v/interval)*interval bucket, key-ascending (ES histogram
+        # order; no size cap). Joined back pre-broadcast, so the big side
+        # still sees one ready-made row per join key.
+        for dest, (fn, path, param) in bucket_aggs.items():
             val = F.col(field_ref_to_path(path))
-            counts = (
-                lookup.groupBy(
-                    F.col(spec.lookup_key).alias("_join_key"), val.alias("_k")
-                )
-                .agg(F.count(F.lit(1)).alias("_dc"))
-                .groupBy("_join_key")
-                .agg(
-                    F.slice(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct(
-                                    (-F.col("_dc")).alias("_neg"),
-                                    F.col("_k").alias("key"),
-                                    F.col("_dc").alias("doc_count"),
-                                )
+            if fn == "histogram":
+                key_col = (
+                    F.floor(val / F.lit(param)) * F.lit(param)
+                ).cast("double")
+            else:
+                key_col = val
+            counts = lookup.groupBy(
+                F.col(spec.lookup_key).alias("_join_key"), key_col.alias("_k")
+            ).agg(F.count(F.lit(1)).alias("_dc"))
+            if fn == "histogram":
+                packed = counts.groupBy("_join_key").agg(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_k").alias("key"),
+                                F.col("_dc").alias("doc_count"),
                             )
-                        ),
-                        1,
-                        size,
-                    ).alias("_buckets")
+                        )
+                    ).alias(dest)
                 )
-                .select(
-                    "_join_key",
-                    F.transform(
-                        "_buckets",
-                        lambda b: F.struct(
-                            b["key"].alias("key"), b["doc_count"].alias("doc_count")
-                        ),
-                    ).alias(dest),
+            else:
+                packed = (
+                    counts.groupBy("_join_key")
+                    .agg(
+                        F.slice(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct(
+                                        (-F.col("_dc")).alias("_neg"),
+                                        F.col("_k").alias("key"),
+                                        F.col("_dc").alias("doc_count"),
+                                    )
+                                )
+                            ),
+                            1,
+                            param,
+                        ).alias("_buckets")
+                    )
+                    .select(
+                        "_join_key",
+                        F.transform(
+                            "_buckets",
+                            lambda b: F.struct(
+                                b["key"].alias("key"),
+                                b["doc_count"].alias("doc_count"),
+                            ),
+                        ).alias(dest),
+                    )
                 )
-            )
-            grouped = grouped.join(counts, "_join_key", "left")
+            grouped = grouped.join(packed, "_join_key", "left")
 
         if not self._has_hits:
             return grouped

@@ -458,10 +458,23 @@ def run_esql(
     params = params or {}
     validate_params(query, params)
     stages = _split_pipes(query)
-    if not stages or not stages[0].upper().startswith("FROM"):
-        raise EsqlValidationError("ES|QL statement must start with FROM")
-
-    df = _resolve_from(spark, stages[0][4:].strip(), tables)
+    if not stages:
+        raise EsqlValidationError("empty ES|QL statement")
+    head = stages[0]
+    if head.upper().startswith("FROM"):
+        df = _resolve_from(spark, head[4:].strip(), tables)
+    elif head.upper().startswith("ROW"):
+        # ROW a = expr, b = expr: a one-row literal source (the ES|QL
+        # testing/constant entry point). Constant-folded by Catalyst.
+        cols = []
+        for item in _split_commas(_substitute(head[3:].strip(), params)):
+            if "=" not in item:
+                raise EsqlValidationError("ROW items must be name = expr")
+            name, expr = item.split("=", 1)
+            cols.append(F.expr(_translate_expr(expr.strip())).alias(name.strip()))
+        df = spark.range(1).select(*cols)
+    else:
+        raise EsqlValidationError("ES|QL statement must start with FROM or ROW")
 
     for stage in stages[1:]:
         m = re.match(r"^([A-Za-z_]+)\s*(.*)$", stage, re.S)
@@ -519,6 +532,8 @@ def run_esql(
             df = _apply_grok(df, body)
         elif cmd == "ENRICH":
             df = _apply_enrich(df, body, tables or {})
+        elif cmd == "LOOKUP":
+            df = _apply_lookup_join(df, body, tables or {})
         else:
             raise EsqlValidationError(f"Unsupported ES|QL command: {cmd}")
     return df
@@ -614,6 +629,28 @@ def _apply_grok(df: DataFrame, body: str) -> DataFrame:
             col = col.cast(_GROK_TYPES[typ])
         df = df.withColumn(name, col)
     return df
+
+
+def _apply_lookup_join(
+    df: DataFrame, body: str, registry: dict[str, DataFrame]
+) -> DataFrame:
+    """LOOKUP JOIN lookup_index ON field: ES|QL's join command (ES
+    8.18+). Left join on the shared field name; on column-name
+    collisions the LOOKUP side wins (ES|QL lookup-join shadowing rule);
+    multiple matches fan the row out; unmatched rows pass through with
+    NULLs. NULL keys never match (plain equality). Broadcast: a lookup
+    index is by definition the small side."""
+    m = re.match(r"^JOIN\s+(\S+)\s+ON\s+(\S+)$", body, re.I | re.S)
+    if not m:
+        raise EsqlValidationError(f"bad LOOKUP clause: {body!r}")
+    name, key = m.group(1), m.group(2)
+    if name not in registry:
+        raise EsqlValidationError(f"unknown lookup index (table) {name!r}")
+    lk = registry[name]
+    if key not in lk.columns:
+        raise EsqlValidationError(f"lookup index {name!r} has no field {key!r}")
+    shadowed = [c for c in lk.columns if c != key and c in df.columns]
+    return df.drop(*shadowed).join(F.broadcast(lk), on=key, how="left")
 
 
 def _apply_enrich(df: DataFrame, body: str, registry: dict[str, DataFrame]) -> DataFrame:

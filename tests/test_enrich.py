@@ -222,3 +222,33 @@ def test_terms_bucket_aggregation(spark, tables):
     out2 = Enricher(spec2).apply(events, lookup)
     r2 = {r["event_id"]: r for r in out2.collect()}
     assert [(b["key"], b["doc_count"]) for b in r2["e2"]["idx_terms"]] == [("idx-2", 2)]
+
+
+def test_histogram_bucket_aggregation(spark, tables):
+    """A `histogram` aggregation copies buckets keyed by
+    floor(v/interval)*interval, key-ascending, no size cap (the
+    whole-object copy rule, dsl_executor.rb:71-77)."""
+    events, lookup = tables
+    spec = EnrichSpec(
+        event_key="key",
+        lookup_key="join_key",
+        aggregation_fields={"bytes_hist": ("histogram", "payload.bytes", 25)},
+        result_size=0,
+    )
+    out = Enricher(spec).apply(events, lookup)
+    rows = {r["event_id"]: r for r in out.collect()}
+    # e2's group has bytes {10, 20, 30}: bucket 0.0 holds two docs,
+    # bucket 25.0 one
+    assert [
+        (b["key"], b["doc_count"]) for b in rows["e2"]["bytes_hist"]
+    ] == [(0.0, 2), (25.0, 1)]
+    assert rows["e3"]["bytes_hist"] is None
+
+    no_interval = EnrichSpec(
+        event_key="key",
+        lookup_key="join_key",
+        aggregation_fields={"h": ("histogram", "payload.bytes")},
+        result_size=0,
+    )
+    with pytest.raises(ValueError, match="interval"):
+        Enricher(no_interval).apply(events, lookup)

@@ -396,3 +396,47 @@ def test_stats_per_aggregate_where(spark, esql_docs):
     )
     rows = [(r["type"], r["total"], r["big"], r["sum_small"]) for r in out.collect()]
     assert rows == [("a", 2, 2, None), ("b", 2, 0, 3), ("c", 1, 1, None), ("t", 1, 0, None)]
+
+
+def test_row_source(spark):
+    """ROW a = expr: one-row literal source (constant-folded)."""
+    out = run_esql(
+        spark,
+        "ROW a = 1 + 2, b = TO_UPPER('hi'), c = MV_SUM(SPLIT('1 2', ' ') "
+        ") | EVAL d = a * 10",
+        tables={},
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["a"], r["b"], r["d"]) == (3, "HI", 30)
+
+    with pytest.raises(EsqlValidationError, match="FROM or ROW"):
+        run_esql(spark, "WHERE x == 1", tables={})
+
+
+def test_lookup_join(spark, esql_docs):
+    """LOOKUP JOIN idx ON field: left join, lookup side wins name
+    collisions, multi-match fans out, NULL/missing keys pass through."""
+    events = spark.createDataFrame(
+        [(1, "a", "keep"), (2, "zz", "keep"), (3, None, "keep")],
+        "id int, type string, label string",
+    )
+    lk = spark.createDataFrame(
+        [("a", "A-name", "shadowed-a"), ("a", "A-name-2", "shadowed-a2")],
+        "type string, name string, label string",
+    )
+    out = run_esql(
+        spark,
+        "FROM ev | LOOKUP JOIN lk ON type | SORT id, name",
+        tables={"ev": events, "lk": lk},
+    ).collect()
+    # id=1 fans out to 2 rows; lookup's label shadows the event's
+    assert [(r["id"], r["name"], r["label"]) for r in out] == [
+        (1, "A-name", "shadowed-a"),
+        (1, "A-name-2", "shadowed-a2"),
+        (2, None, None),
+        (3, None, None),
+    ]
+    with pytest.raises(EsqlValidationError, match="no field"):
+        run_esql(spark, "FROM ev | LOOKUP JOIN lk ON nope",
+                 tables={"ev": events, "lk": lk})
