@@ -782,6 +782,32 @@ def q_aggregation_histogram(spark, sf_dir):
     )
 
 
+def q_aggregation_date_histogram(spark, sf_dir):
+    """A8/B7 date_histogram bucket aggregation copied whole per event:
+    calendar-interval buckets keyed by date_trunc('year'), ascending
+    (dsl_executor.rb:71-77 whole-object copy rule). Keys are rendered
+    yyyy-MM-dd for a cross-engine JSON comparison."""
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    spec = EnrichSpec(
+        event_key="user_id",
+        lookup_key="o_custkey",
+        aggregation_fields={"yr_hist": ("date_histogram", "o_orderdate", "year")},
+        result_size=0,
+    )
+    out = Enricher(spec).apply(events, orders)
+    rendered = F.transform(
+        "yr_hist",
+        lambda b: F.struct(
+            F.date_format(b["key"], "yyyy-MM-dd").alias("key"),
+            b["doc_count"].alias("doc_count"),
+        ),
+    )
+    return out.select(
+        "event_id", F.to_json(rendered).alias("yr_hist_json"), "matched"
+    )
+
+
 def q_esql_first_row(spark, sf_dir):
     """A16: no target -> only the FIRST result row maps onto the event
     root, plus [@metadata][total_values] (esql_executor.rb:102-108)."""
@@ -959,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_wildcard": q_index_wildcard,
         "aggregation_terms": q_aggregation_terms,
         "aggregation_histogram": q_aggregation_histogram,
+        "aggregation_date_histogram": q_aggregation_date_histogram,
         "esql_first_row": q_esql_first_row,
         "esql_rows_to_target": q_esql_rows_to_target,
         "esql_total_values": q_esql_total_values,
@@ -1506,6 +1533,25 @@ def oracle_sql() -> dict[str, str]:
               FROM b GROUP BY 1
             )
             SELECT e.event_id, g.price_hist_json,
+                   (g.o_custkey IS NOT NULL) AS matched
+            FROM events e LEFT JOIN g ON e.user_id = g.o_custkey
+        """,
+        "aggregation_date_histogram": """
+            WITH b AS (
+              SELECT o_custkey,
+                     date_trunc('year', CAST(o_orderdate AS TIMESTAMP))
+                       AS key,
+                     count(*) AS doc_count
+              FROM orders GROUP BY 1, 2
+            ), g AS (
+              SELECT o_custkey,
+                     to_json(list(struct_pack(
+                                    key := strftime(key, '%Y-%m-%d'),
+                                    doc_count := doc_count)
+                                  ORDER BY key)) AS yr_hist_json
+              FROM b GROUP BY 1
+            )
+            SELECT e.event_id, g.yr_hist_json,
                    (g.o_custkey IS NOT NULL) AS matched
             FROM events e LEFT JOIN g ON e.user_id = g.o_custkey
         """,

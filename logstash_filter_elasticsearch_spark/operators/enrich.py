@@ -101,7 +101,9 @@ class EnrichSpec:
     # array<struct<key, doc_count>> ordered doc_count desc, key asc
     # (ES terms default order; default size 10); ("histogram", path,
     # interval) -> array<struct<key double, doc_count>> with
-    # key = floor(v/interval)*interval, key-ascending, no size cap.
+    # key = floor(v/interval)*interval, key-ascending, no size cap;
+    # ("date_histogram", path, calendar_interval) -> same shape with
+    # key = date_trunc(calendar_interval, v) as a timestamp.
     aggregation_fields: dict[str, tuple] = field(default_factory=dict)
     result_size: int = 1  # elasticsearch.rb:130-131; 0 = agg-only search
     sort: list[tuple[str, str]] = field(default_factory=lambda: [("@timestamp", "desc")])
@@ -172,9 +174,9 @@ class Enricher:
                 bucket_aggs[dest] = (
                     fn, path, agg_spec[2] if len(agg_spec) > 2 else 10
                 )
-            elif fn == "histogram":
+            elif fn in ("histogram", "date_histogram"):
                 if len(agg_spec) < 3:
-                    raise ValueError("histogram aggregation needs an interval")
+                    raise ValueError(f"{fn} aggregation needs an interval")
                 bucket_aggs[dest] = (fn, path, agg_spec[2])
             else:
                 aggs.append(getattr(F, fn)(F.col(field_ref_to_path(path))).alias(dest))
@@ -195,12 +197,18 @@ class Enricher:
                 key_col = (
                     F.floor(val / F.lit(param)) * F.lit(param)
                 ).cast("double")
+            elif fn == "date_histogram":
+                # calendar_interval buckets ("day"/"month"/...) keyed by
+                # the truncated timestamp, ascending — ES emits epoch
+                # millis + key_as_string; the truncated timestamp is the
+                # typed equivalent of both
+                key_col = F.date_trunc(param, val.cast("timestamp"))
             else:
                 key_col = val
             counts = lookup.groupBy(
                 F.col(spec.lookup_key).alias("_join_key"), key_col.alias("_k")
             ).agg(F.count(F.lit(1)).alias("_dc"))
-            if fn == "histogram":
+            if fn in ("histogram", "date_histogram"):
                 packed = counts.groupBy("_join_key").agg(
                     F.array_sort(
                         F.collect_list(

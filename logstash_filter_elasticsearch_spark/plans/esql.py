@@ -373,6 +373,30 @@ def _split_commas(s: str) -> list[str]:
     return parts
 
 
+def _expand_col_patterns(df: DataFrame, items: list[str]) -> list[str]:
+    """KEEP/DROP accept ``*`` wildcards over column names
+    (docs/index.asciidoc:203-223). A literal name passes through even if
+    absent (DROP of a missing column is a no-op, matching ES|QL);
+    a wildcard with no match errors, matching ES|QL's unknown-column
+    diagnostics. Order: first-mention wins, duplicates removed."""
+    out: list[str] = []
+    for item in items:
+        name = item.strip()
+        if "*" in name:
+            pat = re.compile(
+                "^" + re.escape(name).replace(r"\*", ".*") + "$"
+            )
+            hits = [c for c in df.columns if pat.match(c)]
+            if not hits:
+                raise EsqlValidationError(
+                    f"No columns match wildcard {name!r}"
+                )
+            out.extend(h for h in hits if h not in out)
+        elif name not in out:
+            out.append(name)
+    return out
+
+
 def _stats_agg_expr(item: str):
     """One STATS aggregate, supporting ES|QL's per-aggregate filter
     ``agg_fn(x) WHERE cond``: compiled to SQL's ``FILTER (WHERE cond)``
@@ -500,19 +524,40 @@ def run_esql(
                     aggs.append(_stats_agg_expr(item))
             df = df.groupBy(*by_cols).agg(*aggs) if by_cols else df.agg(*aggs)
         elif cmd == "SORT":
+            # SORT col [ASC|DESC] [NULLS FIRST|NULLS LAST], ...
+            # ES|QL defaults: ASC; nulls sort LAST under ASC and FIRST
+            # under DESC (treated as larger than any value) — which is
+            # Spark's default too, so only explicit NULLS needs handling
             order = []
             for item in _split_commas(body):
                 toks = item.split()
                 col = F.col(toks[0])
-                desc = len(toks) > 1 and toks[1].upper() == "DESC"
-                order.append(col.desc() if desc else col.asc())
+                rest = [t.upper() for t in toks[1:]]
+                desc = "DESC" in rest
+                if "NULLS" in rest:
+                    nulls_first = rest[rest.index("NULLS") + 1] == "FIRST"
+                    if desc:
+                        col = (
+                            col.desc_nulls_first()
+                            if nulls_first
+                            else col.desc_nulls_last()
+                        )
+                    else:
+                        col = (
+                            col.asc_nulls_first()
+                            if nulls_first
+                            else col.asc_nulls_last()
+                        )
+                else:
+                    col = col.desc() if desc else col.asc()
+                order.append(col)
             df = df.orderBy(*order)
         elif cmd == "LIMIT":
             df = df.limit(int(body))
         elif cmd == "KEEP":
-            df = df.select(*[c.strip() for c in _split_commas(body)])
+            df = df.select(*_expand_col_patterns(df, _split_commas(body)))
         elif cmd == "DROP":
-            df = df.drop(*[c.strip() for c in _split_commas(body)])
+            df = df.drop(*_expand_col_patterns(df, _split_commas(body)))
         elif cmd == "RENAME":
             for item in _split_commas(body):
                 old, new = re.split(r"\s+AS\s+", item, flags=re.I)

@@ -252,3 +252,21 @@ def test_histogram_bucket_aggregation(spark, tables):
     )
     with pytest.raises(ValueError, match="interval"):
         Enricher(no_interval).apply(events, lookup)
+
+
+def test_date_histogram_bucket_aggregation(spark, tables):
+    """date_histogram buckets keyed by date_trunc(calendar_interval),
+    ascending (whole-object copy rule, dsl_executor.rb:71-77)."""
+    events, lookup = tables
+    spec = EnrichSpec(
+        event_key="key",
+        lookup_key="join_key",
+        aggregation_fields={"ts_hist": ("date_histogram", "payload.ts", "day")},
+        result_size=0,
+    )
+    out = Enricher(spec).apply(events, lookup)
+    rows = {r["event_id"]: r for r in out.collect()}
+    b = rows["e2"]["ts_hist"]
+    assert len(b) == 1 and b[0]["doc_count"] == 3
+    assert str(b[0]["key"]).startswith("2014-08-26")
+    assert rows["e3"]["ts_hist"] is None

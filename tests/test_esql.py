@@ -440,3 +440,27 @@ def test_lookup_join(spark, esql_docs):
     with pytest.raises(EsqlValidationError, match="no field"):
         run_esql(spark, "FROM ev | LOOKUP JOIN lk ON nope",
                  tables={"ev": events, "lk": lk})
+
+
+def test_keep_drop_wildcards_and_sort_nulls(spark):
+    """KEEP/DROP expand * wildcards (docs/index.asciidoc:203-223);
+    SORT honors NULLS FIRST/LAST."""
+    df = spark.createDataFrame(
+        [(1, "a", 10, None), (2, "b", 20, 5), (3, None, 30, 1)],
+        "id int, tag string, val_a int, val_b int",
+    )
+    out = run_esql(spark, "FROM t | KEEP id, val_*", tables={"t": df})
+    assert out.columns == ["id", "val_a", "val_b"]
+    out = run_esql(spark, "FROM t | DROP val_*", tables={"t": df})
+    assert out.columns == ["id", "tag"]
+    with pytest.raises(EsqlValidationError, match="wildcard"):
+        run_esql(spark, "FROM t | KEEP nope_*", tables={"t": df})
+
+    rows = run_esql(
+        spark, "FROM t | SORT tag DESC NULLS FIRST | KEEP id", tables={"t": df}
+    ).collect()
+    assert [r["id"] for r in rows] == [3, 2, 1]
+    rows = run_esql(
+        spark, "FROM t | SORT val_b NULLS FIRST | KEEP id", tables={"t": df}
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 3, 2]
