@@ -2,20 +2,32 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the given sf dir, compares row count, sorted column names,
-and an order-insensitive multiset of stringified rows. Floats are
-compared via repr of the exact value (the driver hashes values, so any
-difference is a difference).
+and an order-insensitive multiset of stringified rows.
+
+Values are compared AFTER pandas conversion (``toPandas()`` /
+``duckdb .df()``), because that is demonstrably how the driver hashes:
+round 1's ``salted_route_agg`` had identical Python-level values but
+``hash_match:false`` — DuckDB's HUGEINT ``sum()`` becomes float64
+(294.0) in pandas while Spark's LONG stays int64 (294). Comparing the
+raw ``fetchall()`` ints would hide exactly that class of mismatch, so
+this tool reproduces the pandas path: a type-family difference
+(int vs float vs decimal) IS a value difference here, as it is for the
+driver.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
 import os
 import sys
 from collections import Counter
+from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -26,14 +38,35 @@ TABLES = [
 
 
 def norm_value(v):
-    if isinstance(v, bool):
+    # pandas NaN/NaT/None unify to "null" (both engines render missing
+    # values as one of these after conversion)
+    if v is None or v is pd.NaT:
+        return "null"
+    if isinstance(v, float) and v != v:  # NaN
+        return "null"
+    if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
-    if isinstance(v, float):
-        return repr(round(v, 9))
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (np.floating, float)):
+        return repr(round(float(v), 9))
+    if isinstance(v, Decimal):
+        # Decimal is its own family: DuckDB's decimal sum vs Spark's
+        # double/long must NOT silently compare equal
+        return "dec:" + str(v.normalize())
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, (np.ndarray, list, tuple)):
         return "[" + ",".join(norm_value(x) for x in v) + "]"
     if isinstance(v, (bytes, bytearray, memoryview)):
         return bytes(v).hex()
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if hasattr(v, "asDict"):  # Spark Row (struct column)
+        d = v.asDict(recursive=False)
+        return "{" + ",".join(f"{k}:{norm_value(d[k])}" for k in sorted(d)) + "}"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm_value(v[k])}" for k in sorted(v)) + "}"
     return str(v)
 
 
@@ -64,8 +97,9 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = list(spdf.itertuples(index=False, name=None))
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error {str(e)[:200]}")
@@ -74,9 +108,9 @@ def main():
             print(f"rows-only  {name}: {len(srows)} rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).df()
+            dcols = list(dpdf.columns)
+            drows = list(dpdf.itertuples(index=False, name=None))
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL  {name}: duckdb error {str(e)[:200]}")
