@@ -283,6 +283,23 @@ def q_ngram_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: transitive closure over the n-gram Jaccard
+    pairs (min-label propagation = DuckDB's recursive closure), then
+    one deterministic canonical survivor per cluster. The id column is
+    selected BEFORE the closure joins, so only ids shuffle — never the
+    text payload."""
+    from logstash_filter_elasticsearch_spark.operators.dedup import (
+        dedup_cluster_survivors,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_cluster_survivors(
+        docs.select("doc_id"), pairs.select("id_a", "id_b")
+    )
+
+
 def q_salted_route_agg(spark, sf_dir):
     """Salted two-phase per-sink aggregate == plain groupBy (skew-proof)."""
     docs = _t(spark, sf_dir, "documents")
@@ -969,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_normalized": q_dedup_normalized,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "salted_route_agg": q_salted_route_agg,
         "dedup_latest_event": q_dedup_latest_event,
         "quality_scores": q_quality_scores,
@@ -1373,6 +1391,28 @@ def oracle_sql() -> dict[str, str]:
                      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
         """,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # transitive closure of the same pair set: recursive reachability
+        # -> min reachable id per node == the min-label-propagation
+        # fixpoint computed by connected_components
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs0 AS ({_NGRAM_JACCARD_SQL}),
+            e AS (
+              SELECT id_a AS a, id_b AS b FROM pairs0
+              UNION
+              SELECT id_b, id_a FROM pairs0
+            ),
+            reach AS (
+              SELECT a, a AS r FROM (SELECT DISTINCT a FROM e) t
+              UNION
+              SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.a
+            ),
+            cc AS (SELECT a AS node, min(r) AS cluster_id FROM reach GROUP BY a)
+            SELECT d.doc_id,
+                   coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+                   (coalesce(cc.cluster_id, d.doc_id) = d.doc_id)
+                     AS is_canonical
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+        """,
         # minhash_lsh = banded LSH + exact-Jaccard verify; on this data
         # every true pair sits at >= 0.9 Jaccard where 16-band recall is
         # 1-3.4e-8 and the whole path is seeded/deterministic, so the

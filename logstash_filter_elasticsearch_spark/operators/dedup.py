@@ -368,3 +368,105 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (node, cluster_id).
+
+    The step a training pipeline runs AFTER pair generation: transitive
+    closure groups duplicates into clusters so one canonical survivor
+    can be kept per cluster (``cluster_id`` = the lexicographic min of
+    all reachable ids, the usual deterministic canonical choice).
+
+    Algorithm: min-label propagation over the symmetrized edge list —
+    each round every node takes the min of its own label and its
+    neighbors' labels; converges in graph-diameter rounds. Near-dup
+    clusters are shallow (diameter rarely exceeds a handful of hops),
+    so the loop is short; each round is one shuffle of the edge list
+    keyed by node. At web scale the same loop holds because the edge
+    list is bucket-join output (bounded by the LSH/DF caps upstream),
+    not all-pairs; for adversarially long chains swap in the
+    alternating large-star/small-star variant (Kiveris et al.), which
+    converges in O(log n) rounds over the identical join shape.
+    Raises after ``max_iter`` non-converged rounds rather than
+    returning a partial closure.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.persist()
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("_nbr", "label")
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dedup_cluster_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-document cluster assignment + canonical-survivor flag.
+
+    Documents absent from every pair are their own singleton cluster.
+    ``is_canonical`` marks the one row per cluster a dedup pass keeps
+    (the cluster-min id — deterministic, no tie-breaking RNG).
+    The join against ``docs`` is broadcast-safe only when the pair set
+    is small; at scale it is an equi-join on the id, which AQE plans
+    as a shuffled hash join — one shuffle of the doc-id column, never
+    of the payload (select the id before joining, as the contract
+    query does).
+    """
+    cc = connected_components(pairs, id_a, id_b)
+    out = docs.join(
+        cc, docs[id_col] == cc["node"], "left"
+    ).select(
+        docs[id_col],
+        F.coalesce("cluster_id", docs[id_col]).alias("cluster_id"),
+    )
+    return out.withColumn(
+        "is_canonical", F.col(id_col) == F.col("cluster_id")
+    )

@@ -335,3 +335,34 @@ def test_minhash_bucket_cap_backstop(spark, docs_df):
     assert base == capped and (1, 4) in base
     assert minhash_lsh_pairs(docs_df, "doc_id", "text",
                              threshold=0.5, bucket_cap=1).count() == 0
+
+
+def test_connected_components_and_survivors(spark):
+    """Min-label propagation: chain + pair + singleton -> correct
+    clusters, canonical = lexicographic min, singletons self-canonical."""
+    from logstash_filter_elasticsearch_spark.operators.dedup import (
+        connected_components,
+        dedup_cluster_survivors,
+    )
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    cc = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert cc == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+    docs = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("x",), ("y",), ("solo",)],
+        "doc_id string",
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup_cluster_survivors(docs, pairs).collect()
+    }
+    assert out["solo"] == ("solo", True)
+    assert out["a"] == ("a", True)
+    assert out["d"] == ("a", False)
+    assert out["y"] == ("x", False)
+    # exactly one canonical per cluster
+    assert sum(1 for c, canon in out.values() if canon) == 3
