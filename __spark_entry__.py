@@ -722,10 +722,15 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
-    """Arrow-batched mapInPandas decode stage over binary media columns
-    (deterministic fake codec; schema/batching plumbing is real)."""
+    """Arrow-batched mapInPandas encode + decode over binary media
+    columns. BMP (image) and WAV (audio) are REAL codecs — the decoder
+    parses the genuine container headers the encoder wrote; video is a
+    declared sha-fake (no container libs here). The oracle states the
+    decode-of-encode composition in closed form over the raw byte
+    length."""
     from logstash_filter_elasticsearch_spark.operators.multimodal import (
         decode_media,
+        encode_media,
         sample_frames,
     )
 
@@ -743,8 +748,10 @@ def q_multimodal_decode(spark, sf_dir):
             F.col("source").alias("origin"),
         ).alias("meta"),
     )
-    return sample_frames(decode_media(media), every_ms=10000).select(
-        "media_id", "media_type", "n_bytes", "width", "height", "frame_ts_ms"
+    decoded = decode_media(encode_media(media))
+    return sample_frames(decoded, every_ms=10000).select(
+        "media_id", "media_type", "n_bytes", "width", "height",
+        "duration_ms", "sample_rate", "channels", "frame_ts_ms",
     )
 
 
@@ -1671,26 +1678,48 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_oracle_sql(),
         "ann_ivf": _ann_ivf_oracle_sql(),
         "embedding_near_dup_lsh": _embedding_near_dup_lsh_oracle_sql(),
-        # decode stage: deterministic fake codec (sha256-derived dims) —
-        # recomputed in SQL; real codec plugs in behind the same schema.
+        # encode->decode composition in closed form over the raw byte
+        # length n: the Spark side writes REAL BMP/WAV containers and
+        # parses them back (width 4+n%13, height 3+n%7, BMP rows padded
+        # to 4 bytes; WAV 2n samples of 16-bit mono at 8 kHz). Video is
+        # the declared sha-fake, recomputed from the digest.
         "multimodal_decode": """
             WITH m AS (
               SELECT 'm' || doc_id AS media_id,
                      (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]
                        AS media_type,
-                     octet_length(encode(text)) AS n_bytes,
+                     octet_length(encode(text)) AS n,
                      sha256(text) AS sha
               FROM documents
             ), d AS (
-              SELECT media_id, media_type, n_bytes,
-                     16 + CAST('0x' || substr(sha, 1, 2) AS INT) % 240 AS width,
-                     16 + CAST('0x' || substr(sha, 3, 2) AS INT) % 240 AS height,
-                     CASE WHEN media_type IN ('audio', 'video')
-                          THEN CAST('0x' || substr(sha, 5, 4) AS INT)
-                          ELSE 0 END AS duration_ms
+              SELECT media_id, media_type,
+                     CASE media_type
+                       WHEN 'image' THEN 54 +
+                            ((3 * (4 + n % 13) + 3) // 4 * 4) * (3 + n % 7)
+                       WHEN 'audio' THEN 44 + 4 * n
+                       ELSE n END AS n_bytes,
+                     CASE media_type
+                       WHEN 'image' THEN CAST(4 + n % 13 AS INT)
+                       WHEN 'video' THEN
+                            16 + CAST('0x' || substr(sha, 1, 2) AS INT) % 240
+                       ELSE 0 END AS width,
+                     CASE media_type
+                       WHEN 'image' THEN CAST(3 + n % 7 AS INT)
+                       WHEN 'video' THEN
+                            16 + CAST('0x' || substr(sha, 3, 2) AS INT) % 240
+                       ELSE 0 END AS height,
+                     CASE media_type
+                       WHEN 'audio' THEN CAST(2 * n * 1000 // 8000 AS INT)
+                       WHEN 'video' THEN CAST('0x' || substr(sha, 5, 4) AS INT)
+                       ELSE 0 END AS duration_ms,
+                     CASE media_type WHEN 'audio' THEN 8000 ELSE 0 END
+                       AS sample_rate,
+                     CASE media_type WHEN 'audio' THEN 1 ELSE 0 END
+                       AS channels
               FROM m
             )
             SELECT media_id, media_type, n_bytes, width, height,
+                   duration_ms, sample_rate, channels,
                    unnest(CASE WHEN duration_ms >= 10000
                                THEN list_transform(range(duration_ms // 10000),
                                                    i -> CAST(i * 10000 AS INT))

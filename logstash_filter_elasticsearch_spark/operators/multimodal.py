@@ -1,22 +1,30 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing is real and tested: schema contract, Arrow-
-batched ``mapInPandas`` decode stage, partitioning by media type, and
-metadata extraction as native expressions. The actual codec work is
-STUBBED (this container has no image/audio libraries): by default the
-decoder produces a deterministic fake feature row derived from the
-bytes; pass ``strict=True`` to get ``NotImplementedError`` where a real
-codec would plug in.
+The Spark-side plumbing — schema contract, Arrow-batched ``mapInPandas``
+encode/decode stages, partitioning by media type, frame sampling, and
+metadata extraction as native expressions — is real and tested. The
+codecs themselves:
 
-Design for scale: decode is the one genuinely Python stage in the whole
-engine, so it is ``mapInPandas`` over Arrow record batches — per-batch
-Python cost, zero per-row overhead — and it is schema-stable so the
-surrounding plan (pruning, partitioned writes) stays native.
+* **WAV (audio)** — REAL decode: RIFF/WAVE chunk walk, fmt/data parse,
+  (channels, sample_rate, n_samples, duration) from the actual header
+  and PCM byte length. Pure ``struct``; no external libs needed.
+* **BMP (image)** — REAL decode: BITMAPFILEHEADER/BITMAPINFOHEADER
+  parse, (width, height) from the actual header.
+* **video** — STUB: this container has no container/codec libraries
+  (ffmpeg etc.), so video falls back to a deterministic sha256-derived
+  fake, loudly documented; ``strict=True`` raises instead.
+
+Design for scale: encode/decode are the only genuinely Python stages in
+the engine, so they run as ``mapInPandas`` over Arrow record batches —
+per-batch Python cost, zero per-row overhead — and they are
+schema-stable so the surrounding plan (pruning, partitioned writes)
+stays native.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -30,8 +38,11 @@ MEDIA_SCHEMA = (
 
 DECODED_SCHEMA = (
     "media_id string, media_type string, n_bytes long, "
-    "width int, height int, duration_ms int, feature_hash string"
+    "width int, height int, duration_ms int, sample_rate int, "
+    "channels int, feature_hash string"
 )
+
+WAV_SAMPLE_RATE = 8000
 
 
 def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -39,47 +50,156 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.withColumn("n_bytes", F.length(F.col(payload_col)))
 
 
-def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int, str]:
-    """Deterministic stand-in for a real codec.
+# ---------------------------------------------------------------- encoders
 
-    REAL IMPLEMENTATION GOES HERE (PIL/ffmpeg/soundfile). The fake
-    derives stable pseudo-dimensions from a sha256 of the bytes so
-    tests can assert exact values.
+def make_bmp(width: int, height: int, pixel_source: bytes) -> bytes:
+    """A real 24-bit uncompressed BMP: file header + BITMAPINFOHEADER +
+    4-byte-aligned pixel rows filled from ``pixel_source`` (repeated)."""
+    row = width * 3
+    pad = (-row) % 4
+    img_size = (row + pad) * height
+    src = pixel_source or b"\x00"
+    data = (src * (img_size // len(src) + 1))[:img_size]
+    file_header = b"BM" + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return file_header + info_header + data
+
+
+def make_wav(
+    n_samples: int, pcm_source: bytes, sample_rate: int = WAV_SAMPLE_RATE
+) -> bytes:
+    """A real RIFF/WAVE file: 16-bit mono PCM, data filled from
+    ``pcm_source`` (repeated)."""
+    src = pcm_source or b"\x00"
+    data = (src * (2 * n_samples // len(src) + 1))[: 2 * n_samples]
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    dat = b"data" + struct.pack("<I", len(data)) + data
+    riff = b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(dat)) + b"WAVE"
+    return riff + fmt + dat
+
+
+def encode_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched encode stage: wrap raw payload bytes into a real
+    container chosen by ``media_type`` — BMP for image, WAV for audio;
+    video keeps the raw bytes (no container codec in this environment).
+
+    Dimensions are deterministic functions of the raw byte length n
+    (width 4+n%13, height 3+n%7, wav n_samples 2n) so downstream
+    correctness oracles can state the decode of this encode in closed
+    form while the decoder still parses the genuine headers.
     """
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = []
+            for p, t in zip(pdf["payload"], pdf["media_type"]):
+                raw = bytes(p or b"")
+                n = len(raw)
+                if t == "image":
+                    out_payload.append(make_bmp(4 + n % 13, 3 + n % 7, raw))
+                elif t == "audio":
+                    out_payload.append(make_wav(2 * n, raw))
+                else:
+                    out_payload.append(raw)
+            pdf = pdf.copy()
+            pdf["payload"] = out_payload
+            yield pdf
+
+    return df.mapInPandas(encode_batches, schema=df.schema)
+
+
+# ---------------------------------------------------------------- decoders
+
+def decode_bmp(payload: bytes) -> tuple[int, int]:
+    """(width, height) from a real BMP header."""
+    if len(payload) < 26 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    return width, abs(height)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """(channels, sample_rate, n_samples, duration_ms) from a real
+    RIFF/WAVE file via a chunk walk (fmt + data)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, channels, rate, bits, data_len = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos + 8
+            )
+        elif cid == b"data":
+            data_len = size
+        pos += 8 + size + (size % 2)
+    if channels is None or data_len is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    n_samples = data_len // (channels * (bits // 8))
+    return channels, rate, n_samples, n_samples * 1000 // rate
+
+
+def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """Deterministic stand-in for formats with no pure-Python decoder
+    here (video containers). REAL IMPLEMENTATION GOES HERE (ffmpeg).
+    Derives stable pseudo-dimensions from a sha256 of the bytes so
+    tests can assert exact values."""
     digest = hashlib.sha256(payload or b"").digest()
     width = 16 + digest[0] % 240
     height = 16 + digest[1] % 240
-    duration = (digest[2] << 8 | digest[3]) if media_type in ("audio", "video") else 0
-    return width, height, duration, digest.hex()[:16]
+    duration = (
+        digest[2] << 8 | digest[3] if media_type in ("audio", "video") else 0
+    )
+    return width, height, duration
 
 
 def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     """Arrow-batched decode stage (the only sanctioned Python stage).
 
-    strict=True raises NotImplementedError (no codecs in this
-    environment) — marking exactly where production decode plugs in.
+    Sniffs the container magic per payload: BMP and WAV decode for
+    real; anything else falls back to the deterministic fake —
+    or raises under ``strict=True``, marking exactly where a
+    production codec (ffmpeg) plugs in.
     """
 
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode_one(p, t):
+        raw = bytes(p or b"")
+        digest = hashlib.sha256(raw).hexdigest()[:16]
+        if raw[:2] == b"BM":
+            w, h = decode_bmp(raw)
+            return len(raw), w, h, 0, 0, 0, digest
+        if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+            ch, rate, _, dur = decode_wav(raw)
+            return len(raw), 0, 0, dur, rate, ch, digest
         if strict:
             raise NotImplementedError(
-                "real media decode requires codec libraries (PIL/ffmpeg); "
-                "not available in this environment"
+                f"no pure-Python decoder for media_type={t!r}; production "
+                "decode (ffmpeg) plugs in here"
             )
+        w, h, dur = _fake_decode(raw, t)
+        return len(raw), w, h, dur, 0, 0, digest
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [
-                _fake_decode(p, t)
+                decode_one(p, t)
                 for p, t in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "duration_ms": [d[2] for d in decoded],
-                    "feature_hash": [d[3] for d in decoded],
+                    "n_bytes": [d[0] for d in decoded],
+                    "width": [d[1] for d in decoded],
+                    "height": [d[2] for d in decoded],
+                    "duration_ms": [d[3] for d in decoded],
+                    "sample_rate": [d[4] for d in decoded],
+                    "channels": [d[5] for d in decoded],
+                    "feature_hash": [d[6] for d in decoded],
                 }
             )
 

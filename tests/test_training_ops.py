@@ -153,32 +153,63 @@ def test_quality_and_lang(spark, docs_df):
 
 
 def test_multimodal_decode_and_frames(spark):
+    """BMP and WAV decode for REAL (header parse); video falls back to
+    the declared sha-fake; strict raises only where no real decoder
+    exists."""
+    from logstash_filter_elasticsearch_spark.operators.multimodal import (
+        decode_wav,
+        encode_media,
+        make_bmp,
+        make_wav,
+    )
+
+    # cross-validate the WAV codec against the stdlib writer
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x01\x02" * 4000)  # 4000 samples = 500 ms
+    assert decode_wav(buf.getvalue()) == (1, 8000, 4000, 500)
+
     media = spark.createDataFrame(
         [
-            ("m1", "image", bytearray(b"imgbytes-1"), ("image/png", 10, "web")),
+            ("m1", "image", bytearray(b"imgbytes-1"), ("image/bmp", 10, "web")),
             ("m2", "video", bytearray(b"vidbytes-22"), ("video/mp4", 11, "crawl")),
-            ("m3", "image", None, ("image/png", 0, "web")),
+            ("m3", "audio", bytearray(b"pcmpcm"), ("audio/wav", 6, "web")),
         ],
         "media_id string, media_type string, payload binary, "
         "meta struct<mime:string, n_bytes:long, origin:string>",
     )
-    out = {r["media_id"]: r for r in decode_media(media).collect()}
-    d1 = hashlib.sha256(b"imgbytes-1").digest()
-    assert out["m1"]["width"] == 16 + d1[0] % 240
-    assert out["m1"]["height"] == 16 + d1[1] % 240
-    assert out["m1"]["duration_ms"] == 0
-    assert out["m2"]["duration_ms"] == (d1 := hashlib.sha256(b"vidbytes-22").digest())[2] * 256 + d1[3]
-    assert out["m3"]["feature_hash"] == hashlib.sha256(b"").hexdigest()[:16]
+    out = {r["media_id"]: r for r in decode_media(encode_media(media)).collect()}
+    # image: n=10 -> real BMP 14x6, decoded from the actual header
+    assert (out["m1"]["width"], out["m1"]["height"]) == (4 + 10 % 13, 3 + 10 % 7)
+    assert out["m1"]["n_bytes"] == len(make_bmp(14, 6, b"imgbytes-1"))
+    assert out["m1"]["duration_ms"] == 0 and out["m1"]["sample_rate"] == 0
+    # audio: n=6 -> real WAV, 12 samples @8kHz mono -> 1 ms
+    assert out["m3"]["sample_rate"] == 8000 and out["m3"]["channels"] == 1
+    assert out["m3"]["duration_ms"] == 12 * 1000 // 8000
+    assert out["m3"]["n_bytes"] == len(make_wav(12, b"pcmpcm"))
+    # video: declared fake (sha-derived), raw payload untouched
+    d = hashlib.sha256(b"vidbytes-22").digest()
+    assert out["m2"]["duration_ms"] == (d[2] << 8 | d[3])
+    assert out["m2"]["n_bytes"] == 11
 
-    frames = sample_frames(decode_media(media), every_ms=1000)
+    frames = sample_frames(decode_media(encode_media(media)), every_ms=1000)
     by_id = {}
     for r in frames.collect():
         by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
     assert by_id["m1"] == [0]  # image -> single frame
     assert len(by_id["m2"]) == max(out["m2"]["duration_ms"] // 1000, 1)
 
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        decode_media(media, strict=True).collect()
+    # strict: BMP/WAV still decode; the video row (no real codec) raises
+    with pytest.raises(Exception, match="NotImplementedError|no pure-Python"):
+        decode_media(encode_media(media), strict=True).collect()
+    only_real = media.filter(F.col("media_type") != "video")
+    assert decode_media(encode_media(only_real), strict=True).count() == 2
 
 
 def test_salted_agg_equals_unsalted(spark, docs_df):
