@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import signal
 import subprocess
 import sys
 import time
@@ -106,7 +107,11 @@ def pipeline_worker(cores: int, data_dir: str, out_dir: str) -> None:
             "spark.driver.extraJavaOptions": (
                 "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100 "
                 f"-XX:ActiveProcessorCount={cores}"
-            )
+            ),
+            # the orchestrator SIGSTOPs this whole process group while
+            # other levels take their timed runs (~a minute at most);
+            # keep internal RPC timeouts far above any freeze window
+            "spark.network.timeout": "600s",
         },
     )
 
@@ -182,7 +187,9 @@ def _median(xs: list[float]) -> float:
 
 
 class _Worker:
-    def __init__(self, cores: int, data_dir: str, out_root: str):
+    def __init__(
+        self, cores: int, data_dir: str, out_root: str, cpu_range: str | None = None
+    ):
         self.cores = cores
         self.out_dir = os.path.join(out_root, f"c{cores}")
         shutil.rmtree(self.out_dir, ignore_errors=True)
@@ -194,13 +201,34 @@ class _Worker:
         # threads onto idle host cores, giving low-core levels free
         # helper capacity a real N-core executor host doesn't have
         # (measured: unpinned local[2] runs ~11% faster than pinned).
+        # cpu_range lets the orchestrator give each level a DISJOINT
+        # slice (where the core budget allows) so one level's idle JVM
+        # threads don't share the exact cores another level is being
+        # measured on.
         if shutil.which("taskset"):
-            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+            cmd = ["taskset", "-c", cpu_range or f"0-{cores - 1}"] + cmd
+        # own process group so pause/resume reaches the JVM child too
         self.proc = subprocess.Popen(
             cmd,
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True, env=env,
+            start_new_session=True,
         )
+
+    def pause(self) -> None:
+        """SIGSTOP the whole worker tree: a frozen JVM schedules nothing,
+        so it cannot perturb another level's timed run. RPC timeouts in
+        the worker are raised to 600s, far above any freeze window."""
+        try:
+            os.killpg(os.getpgid(self.proc.pid), signal.SIGSTOP)
+        except (ProcessLookupError, PermissionError):
+            pass
+
+    def resume(self) -> None:
+        try:
+            os.killpg(os.getpgid(self.proc.pid), signal.SIGCONT)
+        except (ProcessLookupError, PermissionError):
+            pass
 
     def _read_json(self) -> dict:
         while True:
@@ -268,7 +296,38 @@ def run_scaling(data_dir: str, levels=(2, 8, 32), trials: int | None = None) -> 
         # measured run per JVM is both the realistic protocol and the
         # reproducible one. Warmups boot concurrently (untimed); the
         # measured runs then go level-by-level seconds apart.
-        workers = {c: _Worker(c, data_dir, out_root) for c in levels}
+        # disjoint CPU slices where the budget allows: small levels get
+        # ranges carved from the TOP of the cpu space, the largest level
+        # keeps the full range. Idle workers additionally get SIGSTOPped
+        # during another level's timed run, so their GC/netty/heartbeat
+        # threads cannot land on the measured cores (observed to inflate
+        # the smallest level's times, i.e. to inflate efficiency).
+        ncpu = os.cpu_count() or max(levels)
+        ranges: dict[int, str] = {}
+        top = ncpu
+        for c in sorted(levels)[:-1]:
+            if top - c >= c:  # room for a disjoint slice
+                ranges[c] = f"{top - c}-{top - 1}"
+                top -= c
+            else:
+                ranges[c] = f"0-{c - 1}"
+        ranges[max(levels)] = f"0-{min(max(levels), ncpu) - 1}"
+        workers = {
+            c: _Worker(c, data_dir, out_root, cpu_range=ranges[c])
+            for c in levels
+        }
+
+        def run_exclusive(c: int, cmd: str) -> dict:
+            for oc, w in workers.items():
+                if oc != c:
+                    w.pause()
+            workers[c].resume()
+            try:
+                return workers[c].run(cmd)
+            finally:
+                for w in workers.values():
+                    w.resume()
+
         try:
             for w in workers.values():
                 w.wait_ready()
@@ -276,14 +335,15 @@ def run_scaling(data_dir: str, levels=(2, 8, 32), trials: int | None = None) -> 
             # within a trial cancels instead of biasing one direction
             order = list(levels) if _t % 2 == 0 else list(reversed(levels))
             for c in order:  # levels back-to-back within a trial
-                r = workers[c].run("e2e")
+                r = run_exclusive(c, "e2e")
                 e2e_secs[c].append(r["seconds"])
                 steals[c].append(r.get("steal_pct", 0.0))
                 rows = r["rows"]
             for c in order:
-                comp_secs[c].append(workers[c].run("compute")["seconds"])
+                comp_secs[c].append(run_exclusive(c, "compute")["seconds"])
         finally:
             for w in workers.values():
+                w.resume()
                 w.stop()
 
     out: dict = {"pipeline_rows": rows, "trials": trials}

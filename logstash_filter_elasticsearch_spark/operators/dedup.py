@@ -245,7 +245,10 @@ def minhash_lsh_pairs(
         # the guard consumes band_rows twice (heavy-key count + anti-
         # join); persist the compact (id, band, bhash) rows so the
         # signature aggregate isn't recomputed — production LSH builds
-        # materialize the signature table as an index artifact anyway
+        # materialize the signature table as an index artifact anyway.
+        # Lifecycle: the returned plan references this cache, and
+        # Spark's ContextCleaner unpersists it once the caller drops
+        # the result DataFrame — it is not pinned for the session.
         from pyspark import StorageLevel
 
         band_rows = band_rows.persist(StorageLevel.MEMORY_AND_DISK)
@@ -408,37 +411,46 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("_nbr"))
-        )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("_nbr", "label")
-                ).alias("label"),
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges["src"] == labels["node"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("label").alias("_nbr"))
             )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+            new_labels = (
+                labels.join(nbr_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("_nbr", "label")
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+    except BaseException:
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
-        )
-    edges.unpersist()
+        raise
+    finally:
+        edges.unpersist()
+    # the returned plan still reads the final labels cache; it is
+    # released by Spark's ContextCleaner once the caller drops the
+    # DataFrame (or explicitly via .unpersist()), so nothing is pinned
+    # for the session lifetime
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

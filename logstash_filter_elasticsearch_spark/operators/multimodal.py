@@ -131,6 +131,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
     while pos + 8 <= len(payload):
         cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         if cid == b"fmt ":
+            if size < 16 or pos + 8 + 16 > len(payload):
+                raise ValueError("WAV fmt chunk truncated")
             _, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", payload, pos + 8
             )
@@ -139,6 +141,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
         pos += 8 + size + (size % 2)
     if channels is None or data_len is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if channels <= 0 or rate <= 0 or bits < 8:
+        raise ValueError("WAV fmt chunk declares impossible parameters")
     n_samples = data_len // (channels * (bits // 8))
     return channels, rate, n_samples, n_samples * 1000 // rate
 
@@ -160,19 +164,24 @@ def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
 def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     """Arrow-batched decode stage (the only sanctioned Python stage).
 
-    Sniffs the container magic per payload: BMP and WAV decode for
-    real; anything else falls back to the deterministic fake —
-    or raises under ``strict=True``, marking exactly where a
-    production codec (ffmpeg) plugs in.
+    Dispatch is on the DECLARED ``media_type`` — image -> BMP, audio ->
+    WAV — never on payload magic bytes, so raw (un-encoded) payloads
+    that happen to begin with 'BM' or 'RIFF' are not misparsed. A
+    declared image/audio whose payload fails its container parse raises
+    ValueError (a corrupt input, surfaced — quarantine upstream of this
+    stage if tolerance is wanted). Types with no pure-Python decoder
+    here (video) fall back to the deterministic fake — or raise under
+    ``strict=True``, marking exactly where a production codec (ffmpeg)
+    plugs in.
     """
 
     def decode_one(p, t):
         raw = bytes(p or b"")
         digest = hashlib.sha256(raw).hexdigest()[:16]
-        if raw[:2] == b"BM":
+        if t == "image":
             w, h = decode_bmp(raw)
             return len(raw), w, h, 0, 0, 0, digest
-        if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        if t == "audio":
             ch, rate, _, dur = decode_wav(raw)
             return len(raw), 0, 0, dur, rate, ch, digest
         if strict:

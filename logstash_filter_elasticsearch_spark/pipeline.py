@@ -197,10 +197,14 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     if staged_dirs:
         agg_rows = (
             spark.read.format(cfg.sink_format)
+            # explicit schema: partition-value type inference would turn
+            # a numeric-looking route into an int, and '01' -> 1 ->
+            # cast-back '1' no longer matches the dir-derived manifest
+            # key '01'. Declaring the writer's own schema pins route to
+            # string, so the partition value round-trips verbatim.
+            .schema(writable.schema)
             .load(staging)
-            # cast: partition-value type inference can turn a numeric-
-            # looking route into an int; metrics are keyed by string
-            .groupBy(F.col("route").cast("string").alias("route"))
+            .groupBy("route")
             .agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.sum("n_tok").alias("sum_n_tok"),

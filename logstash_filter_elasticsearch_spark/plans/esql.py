@@ -42,28 +42,62 @@ class EsqlValidationError(ValueError):
     pass
 
 
+class _QuoteState:
+    """Shared quote/escape tracker for every single-pass scanner here.
+
+    Inside a quote a backslash escapes the next character (ES|QL string
+    literals support ``\\"`` — an escaped quote must NOT close the
+    literal; Spark SQL processes the same escapes, so escaped literals
+    pass through to ``F.expr`` unchanged). Feed each character; read
+    ``in_quote`` BEFORE feeding to classify that character."""
+
+    __slots__ = ("quote", "esc")
+
+    def __init__(self):
+        self.quote = None
+        self.esc = False
+
+    @property
+    def in_quote(self) -> bool:
+        return self.quote is not None
+
+    def feed(self, ch: str) -> None:
+        if self.quote:
+            if self.esc:
+                self.esc = False
+            elif ch == "\\":
+                self.esc = True
+            elif ch == self.quote:
+                self.quote = None
+        elif ch in ("'", '"'):
+            self.quote = ch
+
+
 def _quote_segments(s: str) -> list[tuple[bool, str]]:
     """Split into (is_quoted, segment) runs — same single-pass scanning
     as ``_split_pipes``. Rewrites (operator translation, placeholder
     substitution) apply ONLY to unquoted segments, so a string literal
-    containing ``==`` or ``?name`` passes through untouched."""
+    containing ``==``, ``?name``, or an escaped quote passes through
+    untouched."""
     segs: list[tuple[bool, str]] = []
     buf: list[str] = []
-    quote = None
+    q = _QuoteState()
     for ch in s:
-        if quote:
+        was_quoted = q.in_quote
+        q.feed(ch)
+        if was_quoted:
             buf.append(ch)
-            if ch == quote:
+            if not q.in_quote:  # this char closed the literal
                 segs.append((True, "".join(buf)))
-                buf, quote = [], None
-        elif ch in ("'", '"'):
+                buf = []
+        elif q.in_quote:  # this char opened a literal
             if buf:
                 segs.append((False, "".join(buf)))
-            buf, quote = [ch], ch
+            buf = [ch]
         else:
             buf.append(ch)
     if buf:
-        segs.append((quote is not None, "".join(buf)))
+        segs.append((q.in_quote, "".join(buf)))
     return segs
 
 
@@ -141,14 +175,26 @@ _RENAME_FNS = {  # same arg order, different Spark name
     "MV_MIN": "array_min",
     "MV_MAX": "array_max",
     "MV_DEDUPE": "array_distinct",
-    "MV_SORT": "array_sort",
     "MV_CONCAT": "array_join",
-    "DATE_EXTRACT": "date_part",  # both take ('part', value)
     "NOW": "current_timestamp",
 }
 _CUSTOM_FNS = {
-    "CASE", "MV_SUM", "MV_AVG", "MV_FIRST", "MV_LAST", "SPLIT", "DATE_DIFF",
-    "COUNT_DISTINCT", "PERCENTILE",
+    "CASE", "MV_SUM", "MV_AVG", "MV_FIRST", "MV_LAST", "MV_SORT", "SPLIT",
+    "DATE_DIFF", "DATE_EXTRACT", "COUNT_DISTINCT", "PERCENTILE",
+}
+# ES|QL DATE_EXTRACT takes java.time ChronoField names; map the common
+# ones onto Spark extract fields (DAY_OF_WEEK is ISO-numbered in
+# ChronoField — Monday=1 — so it maps to DAYOFWEEK_ISO, not DAYOFWEEK).
+# Names Spark already accepts (year, month, day, hour, ...) pass through.
+_DATE_EXTRACT_FIELDS = {
+    "year": "year",
+    "month_of_year": "month",
+    "day_of_month": "day",
+    "day_of_week": "dayofweek_iso",
+    "day_of_year": "doy",
+    "hour_of_day": "hour",
+    "minute_of_hour": "minute",
+    "second_of_minute": "second",
 }
 # ES|QL DATE_DIFF unit names (incl. plural/abbreviated aliases) ->
 # Spark timestampdiff unit keywords
@@ -224,6 +270,25 @@ def _translate_call(fn: str, args: list[str]) -> str:
         # — \Q..\E-quote it so metacharacters in the delimiter are inert
         arity(2)
         return f"split({args[0]}, concat('\\\\Q', {args[1]}, '\\\\E'))"
+    if fn == "MV_SORT":
+        # optional 2nd arg: 'ASC' (default) | 'DESC' — must be a literal
+        if len(args) not in (1, 2):
+            raise EsqlValidationError("MV_SORT takes 1 or 2 arguments")
+        if len(args) == 1:
+            return f"array_sort({args[0]})"
+        order = args[1].strip().strip("'\"").upper()
+        if order == "ASC":
+            return f"array_sort({args[0]})"
+        if order == "DESC":
+            return f"reverse(array_sort({args[0]}))"
+        raise EsqlValidationError(
+            f"MV_SORT order must be 'ASC' or 'DESC', got {args[1]!r}"
+        )
+    if fn == "DATE_EXTRACT":
+        arity(2)
+        raw = args[0].strip().strip("'\"").lower()
+        field = _DATE_EXTRACT_FIELDS.get(raw, raw)
+        return f"date_part('{field}', {args[1]})"
     if fn == "COUNT_DISTINCT":
         arity(1)
         return f"count(distinct {args[0]})"
@@ -246,19 +311,15 @@ def _translate_call(fn: str, args: list[str]) -> str:
 
 def _parse_args(s: str, open_paren: int) -> tuple[list[str], int]:
     """Top-level args of the call whose '(' is at ``open_paren``; returns
-    (args, index_past_close_paren). Quote- and paren-aware."""
-    depth, quote = 1, None
+    (args, index_past_close_paren). Quote-, escape- and paren-aware."""
+    depth = 1
+    q = _QuoteState()
     args: list[str] = []
     buf: list[str] = []
     i = open_paren + 1
     while i < len(s):
         ch = s[i]
-        if quote:
-            buf.append(ch)
-            if ch == quote:
-                quote = None
-        elif ch in ("'", '"'):
-            quote = ch
+        if q.in_quote:
             buf.append(ch)
         elif ch == "(":
             depth += 1
@@ -274,6 +335,7 @@ def _parse_args(s: str, open_paren: int) -> tuple[list[str], int]:
             buf = []
         else:
             buf.append(ch)
+        q.feed(ch)
         i += 1
     raise EsqlValidationError(f"unbalanced parens in {s!r}")
 
@@ -293,18 +355,13 @@ def _translate_expr(expr: str) -> str:
     nested calls translate and nothing is rewritten twice.
     """
     out: list[str] = []
-    pos, quote = 0, None
+    pos = 0
+    q = _QuoteState()
     while pos < len(expr):
         ch = expr[pos]
-        if quote:
+        if q.in_quote or ch in ("'", '"'):
             out.append(ch)
-            if ch == quote:
-                quote = None
-            pos += 1
-            continue
-        if ch in ("'", '"'):
-            quote = ch
-            out.append(ch)
+            q.feed(ch)
             pos += 1
             continue
         m = _ESQL_FN_RE.match(expr, pos)
@@ -327,35 +384,26 @@ def _translate_expr(expr: str) -> str:
 
 
 def _split_pipes(query: str) -> list[str]:
-    """Split on top-level '|' respecting quoted strings."""
-    parts, buf, quote = [], [], None
+    """Split on top-level '|' respecting quoted strings (incl. escapes)."""
+    parts, buf = [], []
+    q = _QuoteState()
     for ch in query:
-        if quote:
+        if q.in_quote or ch != "|":
             buf.append(ch)
-            if ch == quote:
-                quote = None
-        elif ch in ("'", '"'):
-            quote = ch
-            buf.append(ch)
-        elif ch == "|":
+        else:
             parts.append("".join(buf).strip())
             buf = []
-        else:
-            buf.append(ch)
+        q.feed(ch)
     parts.append("".join(buf).strip())
     return [p for p in parts if p]
 
 
 def _split_commas(s: str) -> list[str]:
     """Split on top-level commas (not inside parens or quotes)."""
-    parts, buf, depth, quote = [], [], 0, None
+    parts, buf, depth = [], [], 0
+    q = _QuoteState()
     for ch in s:
-        if quote:
-            buf.append(ch)
-            if ch == quote:
-                quote = None
-        elif ch in ("'", '"'):
-            quote = ch
+        if q.in_quote:
             buf.append(ch)
         elif ch == "(":
             depth += 1
@@ -368,6 +416,7 @@ def _split_commas(s: str) -> list[str]:
             buf = []
         else:
             buf.append(ch)
+        q.feed(ch)
     if buf:
         parts.append("".join(buf).strip())
     return parts
@@ -397,37 +446,39 @@ def _expand_col_patterns(df: DataFrame, items: list[str]) -> list[str]:
     return out
 
 
-def _stats_agg_expr(item: str):
-    """One STATS aggregate, supporting ES|QL's per-aggregate filter
-    ``agg_fn(x) WHERE cond``: compiled to SQL's ``FILTER (WHERE cond)``
-    clause (map-side conditional aggregation — no pre-filter pass, no
-    second scan; Spark and DuckDB share the clause). The WHERE keyword
-    is located with the same quote/paren-aware scan as the splitters so
-    a literal containing ' where ' is never misparsed."""
-    depth, quote = 0, None
-    up = item.upper()
-    where_at = -1
-    for i, ch in enumerate(item):
-        if quote:
-            if ch == quote:
-                quote = None
-        elif ch in ("'", '"'):
-            quote = ch
+def _find_top_keyword(s: str, kw: str) -> int:
+    """Index of the first depth-0, unquoted, word-boundary occurrence of
+    ``kw`` (case-insensitive), or -1 — the quote/paren-aware analogue of
+    ``re.search(r"\\bKW\\b")``, so a string literal containing the
+    keyword is never misparsed."""
+    depth = 0
+    q = _QuoteState()
+    up, kw = s.upper(), kw.upper()
+    k = len(kw)
+    for i, ch in enumerate(s):
+        if q.in_quote:
+            pass
         elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
         elif (
             depth == 0
-            and up.startswith("WHERE", i)
-            and (i == 0 or not (item[i - 1].isalnum() or item[i - 1] == "_"))
-            and (
-                i + 5 >= len(item)
-                or not (item[i + 5].isalnum() or item[i + 5] == "_")
-            )
+            and up.startswith(kw, i)
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (i + k >= len(s) or not (s[i + k].isalnum() or s[i + k] == "_"))
         ):
-            where_at = i
-            break
+            return i
+        q.feed(ch)
+    return -1
+
+
+def _stats_agg_expr(item: str):
+    """One STATS aggregate, supporting ES|QL's per-aggregate filter
+    ``agg_fn(x) WHERE cond``: compiled to SQL's ``FILTER (WHERE cond)``
+    clause (map-side conditional aggregation — no pre-filter pass, no
+    second scan; Spark and DuckDB share the clause)."""
+    where_at = _find_top_keyword(item, "WHERE")
     if where_at < 0:
         return F.expr(_translate_expr(item))
     agg = _translate_expr(item[:where_at].strip())
@@ -480,6 +531,11 @@ def run_esql(
 ) -> DataFrame:
     """Compile and run an ES|QL pipe statement as a DataFrame plan."""
     params = params or {}
+    if '"""' in query:
+        raise EsqlValidationError(
+            "triple-quoted string literals are not supported; use a "
+            'single-quoted literal with \\" escapes'
+        )
     validate_params(query, params)
     stages = _split_pipes(query)
     if not stages:
@@ -509,10 +565,10 @@ def run_esql(
             df = df.filter(F.expr(_translate_expr(body)))
         elif cmd == "STATS":
             by_cols: list[str] = []
-            mby = re.search(r"\bBY\b(.*)$", body, re.I | re.S)
-            if mby:
-                by_cols = [c.strip() for c in _split_commas(mby.group(1))]
-                body = body[: mby.start()].strip()
+            by_at = _find_top_keyword(body, "BY")
+            if by_at >= 0:
+                by_cols = [c.strip() for c in _split_commas(body[by_at + 2 :])]
+                body = body[:by_at].strip()
             aggs = []
             for item in _split_commas(body):
                 if "=" in item.split("(")[0]:
@@ -535,7 +591,16 @@ def run_esql(
                 rest = [t.upper() for t in toks[1:]]
                 desc = "DESC" in rest
                 if "NULLS" in rest:
-                    nulls_first = rest[rest.index("NULLS") + 1] == "FIRST"
+                    at = rest.index("NULLS")
+                    if at + 1 >= len(rest) or rest[at + 1] not in (
+                        "FIRST",
+                        "LAST",
+                    ):
+                        raise EsqlValidationError(
+                            f"SORT: NULLS must be followed by FIRST or "
+                            f"LAST in {item!r}"
+                        )
+                    nulls_first = rest[at + 1] == "FIRST"
                     if desc:
                         col = (
                             col.desc_nulls_first()
@@ -755,7 +820,9 @@ def rows_to_target_array(df: DataFrame, target: str) -> DataFrame:
     )
 
 
-def rows_to_target_json(df: DataFrame, target: str) -> DataFrame:
+def rows_to_target_json(
+    df: DataFrame, target: str, order_by: list | None = None
+) -> DataFrame:
     """Rows -> target array with PER-ROW null-column dropping.
 
     The reference drops null columns from each row independently before
@@ -766,11 +833,31 @@ def rows_to_target_json(df: DataFrame, target: str) -> DataFrame:
     one row with ``target: array<string>`` plus total_values.
     ``rows_to_target_array`` remains the fixed-schema (nulls retained)
     variant for consumers that need typed columns.
+
+    The array order is made deterministic INSIDE the aggregate — a
+    global collect_list merges partition buffers in arrival order, so
+    an upstream orderBy does not survive it. ``order_by`` column names
+    sort the array by those values (the reference maps rows in result
+    order); without it the array is sorted by the rendered JSON string,
+    a canonical order that is stable across runs.
     """
     struct_fields = nest_dotted(df.columns)
-    packed = df.select(F.to_json(F.struct(*struct_fields)).alias("_row"))
+    row_json = F.to_json(F.struct(*struct_fields))
+    if order_by:
+        keyed = F.struct(
+            F.struct(*[F.col(c) for c in order_by]).alias("_k"),
+            row_json.alias("_row"),
+        )
+        packed = df.select(keyed.alias("_kr"))
+        return packed.agg(
+            F.transform(
+                F.array_sort(F.collect_list("_kr")), lambda s: s["_row"]
+            ).alias(target),
+            F.count(F.lit(1)).alias("_meta_total_values"),
+        )
+    packed = df.select(row_json.alias("_row"))
     return packed.agg(
-        F.collect_list("_row").alias(target),
+        F.array_sort(F.collect_list("_row")).alias(target),
         F.count(F.lit(1)).alias("_meta_total_values"),
     )
 

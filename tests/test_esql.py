@@ -464,3 +464,58 @@ def test_keep_drop_wildcards_and_sort_nulls(spark):
         spark, "FROM t | SORT val_b NULLS FIRST | KEEP id", tables={"t": df}
     ).collect()
     assert [r["id"] for r in rows] == [1, 3, 2]
+
+
+def test_review_fixes_quoting_and_functions(spark, esql_docs):
+    """Round-2 review regressions: escaped quotes in literals, BY/WHERE
+    keywords inside strings, MV_SORT order arg, DATE_EXTRACT ChronoField
+    names, malformed SORT NULLS, triple-quote rejection."""
+    # escaped quote inside a literal: the == after it must NOT be
+    # rewritten, and the literal passes through to Spark intact
+    df = spark.createDataFrame([('say "a==b"',), ("other",)], "note string")
+    out = run_esql(
+        spark, 'FROM t | WHERE note == "say \\"a==b\\""', tables={"t": df}
+    )
+    assert out.count() == 1
+
+    # 'BY'/' WHERE ' inside a string literal is not a clause keyword
+    out = run_esql(
+        spark,
+        "FROM my_index | STATS n = count(*) "
+        "WHERE message != 'stand by me where' BY type | SORT type",
+        tables=esql_docs,
+    )
+    assert [r["n"] for r in out.collect()] == [2, 2, 1, 1]
+
+    # MV_SORT with explicit order; DATE_EXTRACT ChronoField name
+    r = run_esql(
+        spark,
+        "ROW s = MV_SORT(SPLIT('b a c', ' '), 'DESC'), "
+        "dw = DATE_EXTRACT('day_of_week', TO_DATETIME('2024-01-01'))",
+        tables={},
+    ).collect()[0]
+    assert list(r["s"]) == ["c", "b", "a"]
+    assert r["dw"] == 1  # 2024-01-01 is a Monday; ChronoField ISO Monday=1
+
+    with pytest.raises(EsqlValidationError, match="ASC.*DESC|order"):
+        run_esql(spark, "ROW s = MV_SORT(SPLIT('a b', ' '), 'SIDEWAYS')", tables={})
+    with pytest.raises(EsqlValidationError, match="NULLS"):
+        run_esql(spark, "FROM my_index | SORT type NULLS", tables=esql_docs)
+    with pytest.raises(EsqlValidationError, match="triple-quoted"):
+        run_esql(spark, 'FROM my_index | WHERE message == """x"""', tables=esql_docs)
+
+
+def test_rows_to_target_json_deterministic_order(spark):
+    """The target array is ordered inside the aggregate (order_by cols,
+    else canonical JSON order) — collect_list alone would be
+    partition-arrival order."""
+    from logstash_filter_elasticsearch_spark.plans.esql import rows_to_target_json
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k int, v string"
+    ).repartition(7)
+    row = rows_to_target_json(df, "hits", order_by=["k"]).collect()[0]
+    import json as _json
+
+    ks = [_json.loads(o)["k"] for o in row["hits"]]
+    assert ks == list(range(20))
