@@ -896,6 +896,24 @@ def q_esql_date_trunc(spark, sf_dir):
     )
 
 
+def q_esql_cidr_match(spark, sf_dir):
+    """A14 IP predicate surface: CIDR_MATCH compiled to an unrolled
+    masked compare (try_cast keeps malformed addresses non-matching);
+    TO_IP nulls invalid strings. The ip column is synthesized from
+    numeric fields so the oracle can replicate it."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    return run_esql(
+        spark,
+        "FROM events "
+        "| EVAL ip = CONCAT('10.', TO_STRING(user_id % 64), '.0.', "
+        "TO_STRING(event_id % 256)) "
+        "| WHERE CIDR_MATCH(ip, '10.7.0.0/16', '10.21.0.0/16') "
+        "| EVAL valid = TO_IP(ip) "
+        "| KEEP event_id, user_id, ip, valid | SORT event_id",
+        tables=tables,
+    )
+
+
 def q_esql_lookup_join(spark, sf_dir):
     """A14/B11 LOOKUP JOIN (ES|QL join command, ES 8.18+): broadcast
     left join on the shared field name, lookup side wins collisions,
@@ -1015,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_rows_to_target": q_esql_rows_to_target,
         "esql_total_values": q_esql_total_values,
         "esql_date_trunc": q_esql_date_trunc,
+        "esql_cidr_match": q_esql_cidr_match,
         "esql_lookup_join": q_esql_lookup_join,
         "esql_scalar_fns": q_esql_scalar_fns,
         "esql_case_mv": q_esql_case_mv,
@@ -1631,6 +1650,30 @@ def oracle_sql() -> dict[str, str]:
                      AS day_s,
                    count(*) AS cnt
             FROM events GROUP BY 1, 2 ORDER BY day LIMIT 50
+        """,
+        "esql_cidr_match": """
+            -- same masked-compare math as the Spark compilation:
+            -- 10.7.0.0/16 -> base 10*2^24+7*2^16 = 168230912,
+            -- 10.21.0.0/16 -> 10*2^24+21*2^16 = 169148416,
+            -- mask /16 = 4294901760
+            WITH e AS (
+              SELECT event_id, user_id,
+                     '10.' || (user_id % 64) || '.0.' || (event_id % 256)
+                       AS ip
+              FROM events
+            ), n AS (
+              SELECT event_id, user_id, ip,
+                     CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216 +
+                     CAST(string_split(ip, '.')[2] AS BIGINT) * 65536 +
+                     CAST(string_split(ip, '.')[3] AS BIGINT) * 256 +
+                     CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_long
+              FROM e
+            )
+            SELECT event_id, user_id, ip, ip AS valid
+            FROM n
+            WHERE (ip_long & 4294901760) = 168230912
+               OR (ip_long & 4294901760) = 169148416
+            ORDER BY event_id
         """,
         "esql_lookup_join": """
             SELECT e.event_id, e.user_id AS c_custkey,

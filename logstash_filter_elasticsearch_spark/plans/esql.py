@@ -181,7 +181,9 @@ _RENAME_FNS = {  # same arg order, different Spark name
 _CUSTOM_FNS = {
     "CASE", "MV_SUM", "MV_AVG", "MV_FIRST", "MV_LAST", "MV_SORT", "SPLIT",
     "DATE_DIFF", "DATE_EXTRACT", "COUNT_DISTINCT", "PERCENTILE",
+    "CIDR_MATCH", "TO_IP",
 }
+_IPV4_RE = r"^(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])){3}$"
 # ES|QL DATE_EXTRACT takes java.time ChronoField names; map the common
 # ones onto Spark extract fields (DAY_OF_WEEK is ISO-numbered in
 # ChronoField — Monday=1 — so it maps to DAYOFWEEK_ISO, not DAYOFWEEK).
@@ -289,6 +291,58 @@ def _translate_call(fn: str, args: list[str]) -> str:
         raw = args[0].strip().strip("'\"").lower()
         field = _DATE_EXTRACT_FIELDS.get(raw, raw)
         return f"date_part('{field}', {args[1]})"
+    if fn == "TO_IP":
+        # Spark has no inet type; model ES|QL's conversion semantics —
+        # a string that isn't a valid IPv4 converts to NULL
+        arity(1)
+        return (
+            f"(CASE WHEN {args[0]} rlike '{_IPV4_RE}' "
+            f"THEN {args[0]} ELSE NULL END)"
+        )
+    if fn == "CIDR_MATCH":
+        # CIDR_MATCH(ip, 'a.b.c.d/nn', ...): blocks must be literals
+        # (they become masked-compare constants). The dotted quad is
+        # unrolled to arithmetic — element_at/cast stay in codegen;
+        # a higher-order fold would run interpreted on this VM class.
+        if len(args) < 2:
+            raise EsqlValidationError("CIDR_MATCH takes (ip, block, ...)")
+        ip = args[0]
+        parts = f"split({ip}, '\\\\.')"
+        # try_cast: a malformed address octet yields NULL, so the masked
+        # compare is NULL -> the row simply doesn't match (ANSI cast
+        # would abort the whole job on one bad string)
+        ip_long = (
+            f"(try_cast(element_at({parts}, 1) as bigint) * 16777216 + "
+            f"try_cast(element_at({parts}, 2) as bigint) * 65536 + "
+            f"try_cast(element_at({parts}, 3) as bigint) * 256 + "
+            f"try_cast(element_at({parts}, 4) as bigint))"
+        )
+        conds = []
+        for block in args[1:]:
+            lit = block.strip()
+            if not (
+                len(lit) >= 2 and lit[0] in "'\"" and lit[-1] == lit[0]
+            ):
+                raise EsqlValidationError(
+                    f"CIDR_MATCH blocks must be string literals, got {block!r}"
+                )
+            body = lit[1:-1]
+            try:
+                addr, _, prefix_s = body.partition("/")
+                prefix = int(prefix_s) if prefix_s else 32
+                octets = [int(o) for o in addr.split(".")]
+                if len(octets) != 4 or not all(0 <= o <= 255 for o in octets):
+                    raise ValueError
+                if not 0 <= prefix <= 32:
+                    raise ValueError
+            except ValueError:
+                raise EsqlValidationError(f"bad CIDR block {body!r}") from None
+            mask = (0xFFFFFFFF << (32 - prefix)) & 0xFFFFFFFF
+            base = (
+                octets[0] << 24 | octets[1] << 16 | octets[2] << 8 | octets[3]
+            ) & mask
+            conds.append(f"(({ip_long} & {mask}) = {base})")
+        return "(" + " OR ".join(conds) + ")"
     if fn == "COUNT_DISTINCT":
         arity(1)
         return f"count(distinct {args[0]})"

@@ -519,3 +519,31 @@ def test_rows_to_target_json_deterministic_order(spark):
 
     ks = [_json.loads(o)["k"] for o in row["hits"]]
     assert ks == list(range(20))
+
+
+def test_cidr_match_and_to_ip(spark):
+    """CIDR_MATCH over dotted-quad strings (unrolled masked compare);
+    TO_IP nulls invalid addresses like ES|QL's type conversion."""
+    df = spark.createDataFrame(
+        [("10.42.1.9",), ("10.43.0.1",), ("192.168.0.5",), ("not-an-ip",), ("300.1.1.1",)],
+        "ip string",
+    )
+    out = run_esql(
+        spark,
+        "FROM t | WHERE CIDR_MATCH(ip, '10.42.0.0/16', '192.168.0.0/24') "
+        "| SORT ip",
+        tables={"t": df},
+    ).collect()
+    assert [r["ip"] for r in out] == ["10.42.1.9", "192.168.0.5"]
+
+    valid = run_esql(
+        spark, "FROM t | EVAL v = TO_IP(ip) | SORT ip", tables={"t": df}
+    ).collect()
+    assert [r["v"] for r in valid] == [
+        "10.42.1.9", "10.43.0.1", "192.168.0.5", None, None,
+    ]
+
+    with pytest.raises(EsqlValidationError, match="literal"):
+        run_esql(spark, "FROM t | WHERE CIDR_MATCH(ip, ip)", tables={"t": df})
+    with pytest.raises(EsqlValidationError, match="bad CIDR"):
+        run_esql(spark, "FROM t | WHERE CIDR_MATCH(ip, '10.0.0.0/40')", tables={"t": df})
