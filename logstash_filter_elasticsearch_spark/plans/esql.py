@@ -240,6 +240,11 @@ def _translate_call(fn: str, args: list[str]) -> str:
         arity(1)
         return f"cast({args[0]} as {_CAST_FNS[fn]})"
     if fn in _SWAP2_FNS:
+        if fn == "DATE_FORMAT" and len(args) == 1:
+            # 1-arg form uses the dialect's default pattern
+            return (
+                f"date_format({args[0]}, \"yyyy-MM-dd'T'HH:mm:ss.SSS'Z'\")"
+            )
         arity(2)
         return f"{_SWAP2_FNS[fn]}({args[1]}, {args[0]})"
     if fn in _RENAME_FNS:

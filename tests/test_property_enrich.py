@@ -164,3 +164,57 @@ def test_salted_dedup_first_matches_model(spark, rows):
     for k, o, u in sorted(rows, key=lambda r: (r[1], r[2])):
         exp.setdefault(k, (o, u))
     assert got == exp
+
+
+# ---- ES|QL lexer fuzz: literals must survive translation untouched ----
+
+_LIT_CHARS = st.lists(
+    st.sampled_from(
+        list("abcXYZ 0123456789") + ["==", "?p", "|", ",", "(", ")", "BY",
+                                     "WHERE", "\\\\", '\\"', "\\'"]
+    ),
+    min_size=0,
+    max_size=8,
+).map("".join)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lit=_LIT_CHARS, mode=st.sampled_from(["where", "stats", "eval"]))
+def test_esql_literal_survives_translation(spark, lit, mode):
+    """Any string literal — containing operators, pipes, commas,
+    keywords, escaped quotes — must pass through the quote-aware
+    scanners byte-identically: the compiled query compares equal to the
+    same comparison done in Python."""
+    from logstash_filter_elasticsearch_spark.plans.esql import run_esql
+
+    # render as a double-quoted ES|QL literal; backslash sequences in
+    # _LIT_CHARS are already escape-shaped
+    rendered = '"' + lit + '"'
+    try:
+        expected_literal = (
+            lit.replace("\\\\", "\x00").replace('\\"', '"')
+            .replace("\\'", "'").replace("\x00", "\\")
+        )
+    except Exception:
+        return
+    df = spark.createDataFrame(
+        [(expected_literal,), ("something-else",)], "note string"
+    )
+    if mode == "where":
+        out = run_esql(
+            spark, f"FROM t | WHERE note == {rendered}", tables={"t": df}
+        ).collect()
+        assert [r["note"] for r in out] == [expected_literal]
+    elif mode == "stats":
+        out = run_esql(
+            spark,
+            f"FROM t | STATS n = count(*) WHERE note == {rendered}",
+            tables={"t": df},
+        ).collect()
+        assert out[0]["n"] == 1
+    else:
+        out = run_esql(
+            spark, f"FROM t | EVAL copy = {rendered} | LIMIT 1",
+            tables={"t": df},
+        ).collect()
+        assert out[0]["copy"] == expected_literal
