@@ -867,6 +867,30 @@ def q_esql_rows_to_target(spark, sf_dir):
     )
 
 
+def q_esql_rows_to_target_json(spark, sf_dir):
+    """A17 faithful variant: rows -> target array with PER-ROW null
+    dropping (esql_executor.rb:93-99 ``row.reject { |_, v| v.nil? }``).
+    ``flag`` is null on odd event_ids; those rows' JSON must omit the
+    key entirely, which a fixed-schema struct array cannot express.
+    The array is joined to one string so the cross-engine compare is
+    byte-exact (no array-hash or JSON-escaping ambiguity)."""
+    from logstash_filter_elasticsearch_spark.plans.esql import rows_to_target_json
+
+    tables = {"events": _t(spark, sf_dir, "events")}
+    df = run_esql(
+        spark,
+        "FROM events | WHERE user_id == 7 "
+        "| EVAL flag = CASE(event_id % 2 == 0, user_id) "
+        "| KEEP event_id, flag",
+        tables=tables,
+    )
+    out = rows_to_target_json(df, "hits")
+    return out.select(
+        F.array_join("hits", ";").alias("hits_json"),
+        "_meta_total_values",
+    )
+
+
 def q_esql_total_values(spark, sf_dir):
     """A20: [@metadata][total_values] = result row count attached to
     every row (esql_executor.rb:79)."""
@@ -986,28 +1010,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict order matters: the driver walks entries in order and may stop
+    # before the end (r2 covered only the first 50 of 59), so the ops that
+    # have never received a driver row run FIRST; the long-stable
+    # enrich/template rows (green since r1) come last.
     return {
-        "enrich_left_join": q_enrich_left_join,
-        "fields_multi_hit": q_fields_multi_hit,
-        "docinfo_latest": q_docinfo_latest,
-        "total_hits": q_total_hits,
-        "aggregation_fields": q_aggregation_fields,
-        "matched_decoration": q_matched_decoration,
-        "quarantine_parse": q_quarantine_parse,
-        "sprintf_index": q_sprintf_index,
-        "query_string_filter": q_query_string_filter,
-        "terms_membership": q_terms_membership,
-        "topk_per_key": q_topk_per_key,
-        "esql_stats_by": q_esql_stats_by,
-        "esql_where_sort_limit": q_esql_where_sort_limit,
-        "esql_eval_rename": q_esql_eval_rename,
-        "query_template_render": q_query_template_render,
-        "query_template_theta": q_query_template_theta,
-        "query_string_template": q_query_string_template,
-        "esql_grok": q_esql_grok,
-        "esql_dissect": q_esql_dissect,
-        "esql_enrich": q_esql_enrich,
-        "esql_mv_expand": q_esql_mv_expand,
+        # -- never driver-certified before r3 (locally oracle-verified) --
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "multimodal_decode": q_multimodal_decode,
+        "embedding_topk": q_embedding_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "esql_date_diff": q_esql_date_diff,
+        # -- new in r3 --
+        "esql_rows_to_target_json": q_esql_rows_to_target_json,
+        # -- certified green in r2, newer ops first --
+        "esql_first_row": q_esql_first_row,
+        "esql_rows_to_target": q_esql_rows_to_target,
+        "esql_total_values": q_esql_total_values,
+        "esql_date_trunc": q_esql_date_trunc,
+        "esql_cidr_match": q_esql_cidr_match,
+        "esql_lookup_join": q_esql_lookup_join,
+        "esql_scalar_fns": q_esql_scalar_fns,
+        "esql_case_mv": q_esql_case_mv,
+        "aggregation_terms": q_aggregation_terms,
+        "aggregation_histogram": q_aggregation_histogram,
+        "aggregation_date_histogram": q_aggregation_date_histogram,
         "dedup_exact": q_dedup_exact,
         "dedup_normalized": q_dedup_normalized,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1026,26 +1057,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_nesting": q_target_nesting,
         "esql_stats_multi": q_esql_stats_multi,
         "index_wildcard": q_index_wildcard,
-        "aggregation_terms": q_aggregation_terms,
-        "aggregation_histogram": q_aggregation_histogram,
-        "aggregation_date_histogram": q_aggregation_date_histogram,
-        "esql_first_row": q_esql_first_row,
-        "esql_rows_to_target": q_esql_rows_to_target,
-        "esql_total_values": q_esql_total_values,
-        "esql_date_trunc": q_esql_date_trunc,
-        "esql_cidr_match": q_esql_cidr_match,
-        "esql_lookup_join": q_esql_lookup_join,
-        "esql_scalar_fns": q_esql_scalar_fns,
-        "esql_case_mv": q_esql_case_mv,
-        "esql_date_diff": q_esql_date_diff,
-        "embedding_topk": q_embedding_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "multimodal_decode": q_multimodal_decode,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
+        "esql_stats_by": q_esql_stats_by,
+        "esql_where_sort_limit": q_esql_where_sort_limit,
+        "esql_eval_rename": q_esql_eval_rename,
+        "query_template_render": q_query_template_render,
+        "query_template_theta": q_query_template_theta,
+        "query_string_template": q_query_string_template,
+        "esql_grok": q_esql_grok,
+        "esql_dissect": q_esql_dissect,
+        "esql_enrich": q_esql_enrich,
+        "esql_mv_expand": q_esql_mv_expand,
+        # -- green since r1 --
+        "enrich_left_join": q_enrich_left_join,
+        "fields_multi_hit": q_fields_multi_hit,
+        "docinfo_latest": q_docinfo_latest,
+        "total_hits": q_total_hits,
+        "aggregation_fields": q_aggregation_fields,
+        "matched_decoration": q_matched_decoration,
+        "quarantine_parse": q_quarantine_parse,
+        "sprintf_index": q_sprintf_index,
+        "query_string_filter": q_query_string_filter,
+        "terms_membership": q_terms_membership,
+        "topk_per_key": q_topk_per_key,
     }
 
 
@@ -1635,6 +1668,22 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY event_id)) AS hits_json,
                    count(*) AS _meta_total_values
             FROM events WHERE user_id = 1
+        """,
+        "esql_rows_to_target_json": """
+            -- per-row null-drop: the JSON object for odd event_ids has
+            -- NO "flag" key (esql_executor.rb:93-99); built by string
+            -- concat so the key truly disappears, integer-only columns
+            -- so number rendering is engine-independent
+            WITH r AS (
+              SELECT '{"event_id":' || event_id ||
+                     CASE WHEN event_id % 2 = 0
+                          THEN ',"flag":' || user_id ELSE '' END ||
+                     '}' AS j
+              FROM events WHERE user_id = 7
+            )
+            SELECT string_agg(j, ';' ORDER BY j) AS hits_json,
+                   count(*) AS _meta_total_values
+            FROM r
         """,
         "esql_total_values": """
             SELECT event_id, user_id,

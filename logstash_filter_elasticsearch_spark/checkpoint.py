@@ -31,6 +31,12 @@ class Manifest:
         self.data = {"version": self.VERSION, "routes": {}, "runs": []}
         if self.fs.exists(path):
             self.data = json.loads(self.fs.read_text(path))
+        elif self.fs.exists(path + ".prev"):
+            # torn publish on a filesystem without overwrite-rename
+            # (fsio.HadoopFS fallback parks the old manifest at .prev
+            # before swapping the new one in): resume from the previous
+            # manifest rather than forgetting every committed route
+            self.data = json.loads(self.fs.read_text(path + ".prev"))
 
     @property
     def committed_routes(self) -> set[str]:

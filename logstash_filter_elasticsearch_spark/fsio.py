@@ -68,6 +68,7 @@ class HadoopFS:
 
     def __init__(self, spark, root: str):
         self._jvm = spark._jvm
+        self._gw = spark._sc._gateway
         self._conf = spark._jsc.hadoopConfiguration()
         self._fs = self._path(root).getFileSystem(self._conf)
 
@@ -89,9 +90,46 @@ class HadoopFS:
         self._fs.mkdirs(self._path(path))
 
     def rename(self, src: str, dst: str) -> None:
+        """Overwrite-rename WITHOUT a delete-first crash window.
+
+        Primary: ``FileContext.rename(src, dst, Options.Rename.
+        OVERWRITE)`` — one FS call that atomically replaces ``dst`` on
+        HDFS/file://, so the previous file (e.g. the checkpoint
+        manifest) survives a crash at any instant. Fallback for schemes
+        with no AbstractFileSystem binding (s3a://, gs://): park the
+        old ``dst`` at ``dst.prev`` before renaming the new file into
+        place — a crash between the two steps leaves ``dst.prev``,
+        which ``Manifest`` loading falls back to, instead of losing
+        the file outright.
+
+        Note: overwriting a NON-EMPTY directory still requires the
+        caller to delete first (``publish_atomic`` does) — FileContext
+        only overwrites files and empty dirs.
+        """
+        src_p, dst_p = self._path(src), self._path(dst)
+        fctx = opts = None
+        try:
+            Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
+            opts = self._gw.new_array(Rename, 1)
+            opts[0] = Rename.OVERWRITE
+            fctx = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._fs.getUri(), self._conf
+            )
+        except Exception:
+            fctx = None  # scheme has no AbstractFileSystem binding
+        if fctx is not None:
+            fctx.rename(
+                self._fs.makeQualified(src_p),
+                self._fs.makeQualified(dst_p),
+                opts,
+            )
+            return
         if self.exists(dst):
-            self.delete(dst)
-        if not self._fs.rename(self._path(src), self._path(dst)):
+            prev = dst + ".prev"
+            self.delete(prev)
+            if not self._fs.rename(dst_p, self._path(prev)):
+                raise OSError(f"rename failed: {dst} -> {prev}")
+        if not self._fs.rename(src_p, dst_p):
             raise OSError(f"rename failed: {src} -> {dst}")
 
     def read_text(self, path: str) -> str:

@@ -22,7 +22,7 @@ so results are reproducible across runs and cluster sizes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -123,15 +123,14 @@ def ngram_jaccard_pairs(
     ``df_cap``: stop-shingle cutoff — shingles occurring in more than
     df_cap documents are excluded from pair generation (standard
     near-dup practice: such shingles carry no similarity signal but
-    cost f^2/2 pairs and an f-element aggregation row). Pairs whose
-    OTHER shingles clear the threshold are unaffected; a pair held up
-    only by stop-shingles loses intersection mass, which slightly
-    lowers measured Jaccard — acceptable at a cap of 10k. None
-    disables the guard (exact semantics, used by the small-scale
-    oracle checks only when data demands it).
+    cost f^2/2 pairs and an f-element aggregation row). Set sizes are
+    recomputed AFTER the cutoff, so a dropped shingle leaves both the
+    intersection and the union: Jaccard stays exact over the reduced
+    shingle universe rather than being systematically underestimated
+    for documents containing stop-shingles. None disables the guard
+    (exact semantics over the full universe).
     """
     # One evaluation of the shingle expression, total:
-    # * set size rides along from F.size() — no separate sizes agg
     # * pair generation groups by shingle hash and double-explodes the
     #   per-shingle posting list instead of a self-join (a self-join
     #   re-evaluates the whole shingle subtree per side; measured 1.5x
@@ -141,12 +140,25 @@ def ngram_jaccard_pairs(
     #   (collision odds ~1e-9 at 1e5 distinct shingles).
     base = with_word_shingles(
         df.select(F.col(id_col).alias("_id"), text_col), text_col, n
-    ).withColumn("_sz", F.size("_sh"))
-    sh = base.select("_id", "_sz", F.explode("_sh").alias("_shs")).select(
-        "_id", "_sz", F.xxhash64("_shs").alias("_sh")
     )
     if df_cap is not None:
+        sh = base.select("_id", F.explode("_sh").alias("_shs")).select(
+            "_id", F.xxhash64("_shs").alias("_sh")
+        )
         sh = _drop_heavy_keys(sh, ["_sh"], df_cap)
+        # post-filter set size: one extra shuffle (on _id), paid only
+        # when the guard is active — the price of keeping "exact
+        # Jaccard" true under the reduced universe
+        sh = sh.withColumn(
+            "_sz", F.count(F.lit(1)).over(Window.partitionBy("_id"))
+        )
+    else:
+        # guard off: size rides along from F.size() — no extra shuffle
+        sh = (
+            base.withColumn("_sz", F.size("_sh"))
+            .select("_id", "_sz", F.explode("_sh").alias("_shs"))
+            .select("_id", "_sz", F.xxhash64("_shs").alias("_sh"))
+        )
     posting = sh.groupBy("_sh").agg(
         F.collect_list(F.struct("_id", "_sz")).alias("_ds")
     ).filter(F.size("_ds") > 1)

@@ -267,11 +267,13 @@ def _translate_call(fn: str, args: list[str]) -> str:
         total = f"aggregate({args[0]}, cast(0 as double), (acc, v) -> acc + v)"
         return total if fn == "MV_SUM" else f"({total} / size({args[0]}))"
     if fn == "MV_FIRST":
+        # try_element_at: an empty array yields NULL (ANSI element_at
+        # throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT and aborts the job)
         arity(1)
-        return f"element_at({args[0]}, 1)"
+        return f"try_element_at({args[0]}, 1)"
     if fn == "MV_LAST":
         arity(1)
-        return f"element_at({args[0]}, -1)"
+        return f"try_element_at({args[0]}, -1)"
     if fn == "SPLIT":
         # ES|QL SPLIT's delimiter is literal; Spark split()'s is a regex
         # — \Q..\E-quote it so metacharacters in the delimiter are inert
@@ -313,14 +315,16 @@ def _translate_call(fn: str, args: list[str]) -> str:
             raise EsqlValidationError("CIDR_MATCH takes (ip, block, ...)")
         ip = args[0]
         parts = f"split({ip}, '\\\\.')"
-        # try_cast: a malformed address octet yields NULL, so the masked
-        # compare is NULL -> the row simply doesn't match (ANSI cast
-        # would abort the whole job on one bad string)
+        # try_element_at + try_cast: an address with <4 octets or a
+        # non-numeric octet yields NULL, so the masked compare is NULL
+        # -> the row simply doesn't match. Plain element_at under ANSI
+        # mode throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT on e.g.
+        # '10.1.2' and aborts the whole job.
         ip_long = (
-            f"(try_cast(element_at({parts}, 1) as bigint) * 16777216 + "
-            f"try_cast(element_at({parts}, 2) as bigint) * 65536 + "
-            f"try_cast(element_at({parts}, 3) as bigint) * 256 + "
-            f"try_cast(element_at({parts}, 4) as bigint))"
+            f"(try_cast(try_element_at({parts}, 1) as bigint) * 16777216 + "
+            f"try_cast(try_element_at({parts}, 2) as bigint) * 65536 + "
+            f"try_cast(try_element_at({parts}, 3) as bigint) * 256 + "
+            f"try_cast(try_element_at({parts}, 4) as bigint))"
         )
         conds = []
         for block in args[1:]:
@@ -590,11 +594,18 @@ def run_esql(
 ) -> DataFrame:
     """Compile and run an ES|QL pipe statement as a DataFrame plan."""
     params = params or {}
-    if '"""' in query:
-        raise EsqlValidationError(
-            "triple-quoted string literals are not supported; use a "
-            'single-quoted literal with \\" escapes'
-        )
+    # Reject a triple-quote only where it would OPEN a literal (scanner
+    # not inside a quote) — WHERE msg == '"""' is a valid single-quoted
+    # literal and passes. Checked positionally because the pairwise
+    # scanner would otherwise read """ as "" + " and hide the run.
+    _q = _QuoteState()
+    for _i, _ch in enumerate(query):
+        if not _q.in_quote and query.startswith('"""', _i):
+            raise EsqlValidationError(
+                "triple-quoted string literals are not supported; use a "
+                'single-quoted literal with \\" escapes'
+            )
+        _q.feed(_ch)
     validate_params(query, params)
     stages = _split_pipes(query)
     if not stages:
@@ -640,9 +651,10 @@ def run_esql(
             df = df.groupBy(*by_cols).agg(*aggs) if by_cols else df.agg(*aggs)
         elif cmd == "SORT":
             # SORT col [ASC|DESC] [NULLS FIRST|NULLS LAST], ...
-            # ES|QL defaults: ASC; nulls sort LAST under ASC and FIRST
-            # under DESC (treated as larger than any value) — which is
-            # Spark's default too, so only explicit NULLS needs handling
+            # ES|QL defaults: ASC; nulls treated as larger than any
+            # value (ASC -> last, DESC -> first). Spark's asc()/desc()
+            # defaults are the opposite (ASC -> nulls first), so the
+            # no-NULLS-clause branch must pick the placement explicitly.
             order = []
             for item in _split_commas(body):
                 toks = item.split()
@@ -673,7 +685,14 @@ def run_esql(
                             else col.asc_nulls_last()
                         )
                 else:
-                    col = col.desc() if desc else col.asc()
+                    # ES|QL default null placement treats NULL as larger
+                    # than any value (ASC -> last, DESC -> first) — the
+                    # OPPOSITE of Spark's asc()/desc() defaults
+                    col = (
+                        col.desc_nulls_first()
+                        if desc
+                        else col.asc_nulls_last()
+                    )
                 order.append(col)
             df = df.orderBy(*order)
         elif cmd == "LIMIT":

@@ -84,7 +84,9 @@ def test_keep_drop_rename_eval_limit(spark, esql_docs):
     )
     rows = out.collect()
     assert out.columns == ["msg", "double_count"]
-    assert [r["double_count"] for r in rows] == [10, 8]
+    # ES|QL treats NULL as larger than any value: DESC puts the
+    # null-count row FIRST (the Spark desc() default would hide it last)
+    assert [r["double_count"] for r in rows] == [None, 10]
 
 
 def test_from_wildcard_and_union(spark, esql_docs):
@@ -465,6 +467,18 @@ def test_keep_drop_wildcards_and_sort_nulls(spark):
     ).collect()
     assert [r["id"] for r in rows] == [1, 3, 2]
 
+    # DEFAULT null placement: ES|QL treats NULL as larger than any
+    # value — ASC puts it last, DESC first (Spark's asc()/desc()
+    # defaults are the opposite, so these exercise the explicit branch)
+    rows = run_esql(
+        spark, "FROM t | SORT val_b | KEEP id", tables={"t": df}
+    ).collect()
+    assert [r["id"] for r in rows] == [3, 2, 1]
+    rows = run_esql(
+        spark, "FROM t | SORT val_b DESC | KEEP id", tables={"t": df}
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 2, 3]
+
 
 def test_review_fixes_quoting_and_functions(spark, esql_docs):
     """Round-2 review regressions: escaped quotes in literals, BY/WHERE
@@ -547,3 +561,46 @@ def test_cidr_match_and_to_ip(spark):
         run_esql(spark, "FROM t | WHERE CIDR_MATCH(ip, ip)", tables={"t": df})
     with pytest.raises(EsqlValidationError, match="bad CIDR"):
         run_esql(spark, "FROM t | WHERE CIDR_MATCH(ip, '10.0.0.0/40')", tables={"t": df})
+
+
+def test_cidr_match_short_ip_no_ansi_abort(spark):
+    """An IP with fewer than 4 octets must simply not match — under
+    ANSI mode plain element_at would throw INVALID_ARRAY_INDEX_IN_
+    ELEMENT_AT and abort the whole job (try_element_at yields NULL)."""
+    df = spark.createDataFrame(
+        [("10.1.2",), ("10.42.1.9",), ("",), ("10",)], "ip string"
+    )
+    out = run_esql(
+        spark,
+        "FROM t | WHERE CIDR_MATCH(ip, '10.42.0.0/16') | SORT ip",
+        tables={"t": df},
+    ).collect()
+    assert [r["ip"] for r in out] == ["10.42.1.9"]
+
+
+def test_mv_first_last_empty_array(spark):
+    """MV_FIRST/MV_LAST on an EMPTY array yield NULL instead of an ANSI
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT abort."""
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None)], "id int, xs array<string>"
+    )
+    rows = run_esql(
+        spark,
+        "FROM t | EVAL f = MV_FIRST(xs), l = MV_LAST(xs) | SORT id | KEEP id, f, l",
+        tables={"t": df},
+    ).collect()
+    assert [(r["f"], r["l"]) for r in rows] == [
+        ("a", "b"), (None, None), (None, None),
+    ]
+
+
+def test_triple_quote_inside_literal_allowed(spark):
+    """The triple-quote rejection is position-aware: three double
+    quotes INSIDE a single-quoted literal are data, not syntax."""
+    df = spark.createDataFrame([('"""',), ("x",)], "msg string")
+    out = run_esql(
+        spark, "FROM t | WHERE msg == '\"\"\"'", tables={"t": df}
+    ).collect()
+    assert [r["msg"] for r in out] == ['"""']
+    with pytest.raises(EsqlValidationError, match="triple-quoted"):
+        run_esql(spark, 'FROM t | WHERE msg == """x"""', tables={"t": df})
