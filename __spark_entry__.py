@@ -708,16 +708,17 @@ def q_simhash(spark, sf_dir):
 def q_embedding_near_dup_lsh(spark, sf_dir):
     """Hyperplane-LSH near-dup pairs — the 100 TB contract path for
     embedding near-dup (bucketed self-join, never all-pairs). The
-    oracle embeds the same seed-derived hyperplanes as SQL literals and
-    replicates bucketing + candidate join + exact cosine filter."""
+    banding is SOLVED FROM THE THRESHOLD (auto_lsh_params: expected
+    recall >= 0.9 at cos 0.4 -> 5 planes x 22 tables; the r2 fixed
+    10x6 banding had ~5% recall here). The oracle embeds the same
+    seed-derived hyperplanes as SQL literals and replicates bucketing +
+    candidate join + exact cosine filter."""
     from logstash_filter_elasticsearch_spark.operators.similarity import (
         lsh_near_dup_pairs,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = lsh_near_dup_pairs(
-        emb, threshold=0.4, dim=64, n_planes=10, n_tables=6, seed=42
-    )
+    out = lsh_near_dup_pairs(emb, threshold=0.4, dim=64, seed=42)
     return out.select("id_a", "id_b", F.round("cos", 5).alias("cos"))
 
 
@@ -1171,7 +1172,16 @@ def _ann_lsh_oracle_sql() -> str:
 
 
 def _embedding_near_dup_lsh_oracle_sql() -> str:
-    planes = _planes_values_sql(seed=42, n_planes=10, n_tables=6, dim=64)
+    # same banding derivation as the Spark query: solved from the
+    # threshold so the oracle literal-replicates the exact tables
+    from logstash_filter_elasticsearch_spark.operators.similarity import (
+        auto_lsh_params,
+    )
+
+    n_planes, n_tables = auto_lsh_params(0.4)
+    planes = _planes_values_sql(
+        seed=42, n_planes=n_planes, n_tables=n_tables, dim=64
+    )
     return f"""
         WITH {planes},{_LSH_SIG_SQL},
         cands AS (

@@ -28,6 +28,7 @@ a plan change.
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 from operator import add
 
@@ -111,6 +112,41 @@ def cosine_topk(
 def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def auto_lsh_params(
+    threshold: float, target_recall: float = 0.9, max_tables: int = 32
+) -> tuple[int, int]:
+    """Smallest hyperplane-LSH configuration (n_planes, n_tables) whose
+    EXPECTED recall at cosine == threshold meets ``target_recall``.
+
+    Sign-random-projection collision probability per plane is
+    p = 1 - acos(threshold)/pi (Goemans-Williamson); b planes AND into
+    a bucket, t tables OR: recall(θ) = 1 - (1 - p^b)^t. More planes
+    per table means exponentially fewer candidate pairs (buckets shrink
+    2x per plane) but more tables for the same recall, so pick the
+    LARGEST b whose required t still fits ``max_tables`` — candidates
+    per true pair scale ~ t/2^b, which is monotonically better in b for
+    p > 1/2 (i.e. threshold > 0).
+
+    This is the datasketch-style optimal-(b,r) computation transplanted
+    to hyperplane LSH; it makes the operator honest at ANY threshold
+    instead of silently collapsing to ~5% recall when the caller asks
+    for a low one (hyperplane LSH's natural regime is high-cos).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    p = 1.0 - math.acos(threshold) / math.pi
+    for b in range(16, 0, -1):
+        pb = p**b
+        if pb >= 1.0:
+            return b, 1
+        t = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pb))
+        if t <= max_tables:
+            return b, t
+    return 1, max_tables
 
 
 def _bucket_rows(
@@ -318,6 +354,7 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Exact embedding near-duplicate pairs: all (a < b) with
     cosine >= threshold.
@@ -334,9 +371,21 @@ def cosine_near_dup_pairs(
     The corpus matrix ships via ``SparkContext.broadcast`` (torrent
     blocks, one copy per executor), NOT closure capture (which would
     re-serialize it into every task binary).
+
+    ``max_rows`` makes the small-scale declaration EXECUTABLE: the
+    corpus is counted before it is collected, and a corpus past the
+    bound raises instead of silently materializing 100 TB on the
+    driver. Raise the bound deliberately if you really mean it.
     """
     import pandas as pd
 
+    src_cnt = df.count()
+    if src_cnt > max_rows:
+        raise ValueError(
+            f"cosine_near_dup_pairs is the exact small-scale baseline: "
+            f"corpus has {src_cnt} rows > max_rows={max_rows}; use "
+            f"lsh_near_dup_pairs at scale (or raise max_rows explicitly)"
+        )
     rows = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v")).collect()
     ids = np.array([r["i"] for r in rows], dtype=np.int64)
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
@@ -371,15 +420,27 @@ def lsh_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     dim: int = 64,
-    n_planes: int = 10,
-    n_tables: int = 6,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     seed: int = 42,
+    target_recall: float = 0.9,
+    max_tables: int = 32,
 ) -> DataFrame:
     """Approximate near-dup pairs: candidates share a hyperplane bucket
     in ANY of n_tables tables (self-join on (table, bucket) — never a
     cross join), then exact cosine filter. The 100 TB shape: bucket ids
     are a persisted column, the self-join shuffles only bucket-sized
-    groups."""
+    groups.
+
+    By default (n_planes/n_tables omitted) the banding is SOLVED FROM
+    THE THRESHOLD via ``auto_lsh_params`` so expected recall at the
+    threshold meets ``target_recall`` — a fixed (10, 6) banding has
+    ~95% MISS rate at threshold 0.4 while looking fine at 0.9. Passing
+    both explicitly opts out (the caller owns the recall math)."""
+    if (n_planes is None) != (n_tables is None):
+        raise ValueError("pass both n_planes and n_tables, or neither")
+    if n_planes is None:
+        n_planes, n_tables = auto_lsh_params(threshold, target_recall, max_tables)
     planes = [
         np.array(_planes(dim, n_planes, seed + 1000 * t)) for t in range(n_tables)
     ]

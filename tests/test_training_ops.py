@@ -314,6 +314,67 @@ def test_lsh_near_dup_finds_planted(spark):
         assert float(M[a] @ M[b]) >= 0.99 - 1e-6
 
 
+def test_lsh_near_dup_auto_banding_recall_gate(spark):
+    """The contract operating point: LOW threshold (0.4) over random
+    vectors — exactly the regime where r2's fixed 10x6 banding missed
+    ~95% of true pairs. With the banding solved from the threshold
+    (auto_lsh_params), measured recall vs the exact path must be >=0.9
+    (expected recall is the design target; the fixed seed makes the
+    measurement stable)."""
+    import numpy as np
+    from logstash_filter_elasticsearch_spark.operators.similarity import (
+        auto_lsh_params,
+        cosine_near_dup_pairs,
+        lsh_near_dup_pairs,
+    )
+
+    # solver sanity: recall target met in expectation, tables bounded
+    for th in (0.4, 0.6, 0.8, 0.9):
+        b, t = auto_lsh_params(th, target_recall=0.9, max_tables=32)
+        import math
+
+        p = 1 - math.acos(th) / math.pi
+        assert 1 - (1 - p**b) ** t >= 0.9 and t <= 32
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((400, 64)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<float>",
+    ).cache()
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs(df, threshold=0.4).collect()
+    }
+    assert len(exact) >= 20  # the Gaussian tail provides true pairs
+    approx = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_dup_pairs(df, threshold=0.4, dim=64, seed=42).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"auto-banded LSH recall {recall:.2f} < 0.9"
+    assert approx <= exact  # exact cosine filter: no false positives
+    df.unpersist()
+
+
+def test_cosine_near_dup_max_rows_guard(spark):
+    """The exact path's small-scale declaration is executable: a corpus
+    past max_rows raises before anything is collected."""
+    import pytest as _pytest
+
+    from logstash_filter_elasticsearch_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    df = spark.range(50).selectExpr(
+        "id as vec_id", "array(cast(id as float), 1.0f) as embedding"
+    )
+    with _pytest.raises(ValueError, match="max_rows"):
+        cosine_near_dup_pairs(df, max_rows=10).collect()
+    # under the bound it runs
+    assert cosine_near_dup_pairs(df, threshold=0.999, max_rows=100).count() >= 0
+
+
 def test_df_cap_drops_stop_shingles_keeps_others(spark):
     # 12 docs all share one stop-shingle ("aaa bbb ccc"); docs 1/2 are
     # near-dups through their OTHER shingles. With df_cap below 12 the
