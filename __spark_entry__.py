@@ -724,11 +724,10 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
 
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas encode + decode over binary media
-    columns. BMP (image) and WAV (audio) are REAL codecs — the decoder
-    parses the genuine container headers the encoder wrote; video is a
-    declared sha-fake (no container libs here). The oracle states the
-    decode-of-encode composition in closed form over the raw byte
-    length."""
+    columns. BMP (image), WAV (audio) and MP4 (video) are REAL codecs —
+    the decoder parses the genuine container headers/boxes the encoder
+    wrote. The oracle states the decode-of-encode composition in closed
+    form over the raw byte length."""
     from logstash_filter_elasticsearch_spark.operators.multimodal import (
         decode_media,
         encode_media,
@@ -1794,25 +1793,27 @@ def oracle_sql() -> dict[str, str]:
                      sha256(text) AS sha
               FROM documents
             ), d AS (
+              -- decode-of-encode in closed form: BMP 54+rows, WAV
+              -- 44+PCM, MP4 n+248 (24 ftyp + 216 moov + 8 mdat hdr)
+              -- with dims 16+n%113 x 16+n%97 and 500+(n%40)*1000 ms
               SELECT media_id, media_type,
                      CASE media_type
                        WHEN 'image' THEN 54 +
                             ((3 * (4 + n % 13) + 3) // 4 * 4) * (3 + n % 7)
                        WHEN 'audio' THEN 44 + 4 * n
+                       WHEN 'video' THEN n + 248
                        ELSE n END AS n_bytes,
                      CASE media_type
                        WHEN 'image' THEN CAST(4 + n % 13 AS INT)
-                       WHEN 'video' THEN
-                            16 + CAST('0x' || substr(sha, 1, 2) AS INT) % 240
+                       WHEN 'video' THEN CAST(16 + n % 113 AS INT)
                        ELSE 0 END AS width,
                      CASE media_type
                        WHEN 'image' THEN CAST(3 + n % 7 AS INT)
-                       WHEN 'video' THEN
-                            16 + CAST('0x' || substr(sha, 3, 2) AS INT) % 240
+                       WHEN 'video' THEN CAST(16 + n % 97 AS INT)
                        ELSE 0 END AS height,
                      CASE media_type
                        WHEN 'audio' THEN CAST(2 * n * 1000 // 8000 AS INT)
-                       WHEN 'video' THEN CAST('0x' || substr(sha, 5, 4) AS INT)
+                       WHEN 'video' THEN CAST(500 + (n % 40) * 1000 AS INT)
                        ELSE 0 END AS duration_ms,
                      CASE media_type WHEN 'audio' THEN 8000 ELSE 0 END
                        AS sample_rate,

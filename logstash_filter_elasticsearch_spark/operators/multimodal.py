@@ -10,8 +10,12 @@ codecs themselves:
   and PCM byte length. Pure ``struct``; no external libs needed.
 * **BMP (image)** — REAL decode: BITMAPFILEHEADER/BITMAPINFOHEADER
   parse, (width, height) from the actual header.
-* **video** — STUB: this container has no container/codec libraries
-  (ffmpeg etc.), so video falls back to a deterministic sha256-derived
+* **MP4 (video)** — REAL decode: ISO BMFF box walk — top-level scan to
+  ``moov``, ``mvhd`` (timescale + duration -> ms), ``trak``/``tkhd``
+  (16.16 fixed-point width/height); v0 and v1 boxes, 64-bit largesize.
+  Pure ``struct``. Frame PIXEL decode (codec payloads) would need
+  ffmpeg and is out of scope — metadata extraction doesn't.
+* **unknown media types** fall back to a deterministic sha256-derived
   fake, loudly documented; ``strict=True`` raises instead.
 
 Design for scale: encode/decode are the only genuinely Python stages in
@@ -82,15 +86,51 @@ def make_wav(
     return riff + fmt + dat
 
 
+def make_mp4(width: int, height: int, duration_ms: int, payload: bytes) -> bytes:
+    """A real (minimal) ISO BMFF file: ``ftyp`` + ``moov`` ( ``mvhd`` +
+    ``trak`` ( ``tkhd`` ) ) + ``mdat`` carrying the payload.
+
+    Movie timescale is 1000, so the mvhd duration field IS milliseconds;
+    tkhd stores width/height as 16.16 fixed point — the genuine box
+    layout every MP4 demuxer reads. Total size is ``len(payload) + 248``
+    (24 ftyp + 216 moov + 8 mdat header), which oracles use in closed
+    form.
+    """
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = (
+        struct.pack(">I", 108) + b"mvhd" + struct.pack(">I", 0)  # v0, flags 0
+        + struct.pack(">IIII", 0, 0, 1000, duration_ms)  # times, scale, dur
+        + struct.pack(">iHH", 0x10000, 0x0100, 0)  # rate 1.0, volume 1.0
+        + b"\x00" * 8
+        + matrix
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2)  # next_track_ID
+    )
+    tkhd = (
+        struct.pack(">I", 92) + b"tkhd" + struct.pack(">I", 7)  # v0, enabled
+        + struct.pack(">IIIII", 0, 0, 1, 0, duration_ms)  # track_ID 1
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)  # layer, group, volume
+        + matrix
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    moov = struct.pack(">I", 8 + len(mvhd) + len(trak)) + b"moov" + mvhd + trak
+    ftyp = struct.pack(">I", 24) + b"ftypisom" + struct.pack(">I", 0) + b"isommp41"
+    mdat = struct.pack(">I", 8 + len(payload)) + b"mdat" + payload
+    return ftyp + moov + mdat
+
+
 def encode_media(df: DataFrame) -> DataFrame:
     """Arrow-batched encode stage: wrap raw payload bytes into a real
-    container chosen by ``media_type`` — BMP for image, WAV for audio;
-    video keeps the raw bytes (no container codec in this environment).
+    container chosen by ``media_type`` — BMP for image, WAV for audio,
+    MP4 for video; unknown types keep the raw bytes.
 
     Dimensions are deterministic functions of the raw byte length n
-    (width 4+n%13, height 3+n%7, wav n_samples 2n) so downstream
-    correctness oracles can state the decode of this encode in closed
-    form while the decoder still parses the genuine headers.
+    (image 4+n%13 x 3+n%7; wav n_samples 2n; mp4 16+n%113 x 16+n%97,
+    duration 500+(n%40)*1000 ms) so downstream correctness oracles can
+    state the decode of this encode in closed form while the decoder
+    still parses the genuine headers.
     """
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -103,6 +143,12 @@ def encode_media(df: DataFrame) -> DataFrame:
                     out_payload.append(make_bmp(4 + n % 13, 3 + n % 7, raw))
                 elif t == "audio":
                     out_payload.append(make_wav(2 * n, raw))
+                elif t == "video":
+                    out_payload.append(
+                        make_mp4(
+                            16 + n % 113, 16 + n % 97, 500 + (n % 40) * 1000, raw
+                        )
+                    )
                 else:
                     out_payload.append(raw)
             pdf = pdf.copy()
@@ -147,11 +193,76 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
     return channels, rate, n_samples, n_samples * 1000 // rate
 
 
+def _iter_boxes(buf: bytes, pos: int, end: int):
+    """Yield (type, content_start, content_end) for ISO BMFF boxes in
+    buf[pos:end]. Handles 32-bit sizes, 64-bit largesize (size == 1),
+    and size == 0 (box extends to the end of the enclosing box)."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, pos)
+        btype = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("MP4 largesize header truncated")
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("MP4 box size out of bounds")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def decode_mp4(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, duration_ms) from a real MP4/ISO BMFF file.
+
+    Top-level box walk to ``moov``; inside it ``mvhd`` gives
+    (timescale, duration) -> milliseconds and the first ``trak``'s
+    ``tkhd`` gives 16.16 fixed-point width/height. Version 0 (32-bit
+    times) and version 1 (64-bit) both parsed.
+    """
+    if len(payload) < 16:
+        raise ValueError("not an MP4 payload")
+    top_types = []
+    width = height = duration_ms = None
+    for btype, cs, ce in _iter_boxes(payload, 0, len(payload)):
+        top_types.append(btype)
+        if btype != b"moov":
+            continue
+        for ityp, ics, ice in _iter_boxes(payload, cs, ce):
+            if ityp == b"mvhd":
+                version = payload[ics]
+                if version == 1:
+                    scale, dur = struct.unpack_from(">IQ", payload, ics + 4 + 16)
+                else:
+                    scale, dur = struct.unpack_from(">II", payload, ics + 4 + 8)
+                if scale <= 0:
+                    raise ValueError("MP4 mvhd timescale must be positive")
+                duration_ms = dur * 1000 // scale
+            elif ityp == b"trak" and width is None:
+                for ttyp, tcs, _tce in _iter_boxes(payload, ics, ice):
+                    if ttyp != b"tkhd":
+                        continue
+                    version = payload[tcs]
+                    # skip to matrix end: verflags + times/ids + reserved
+                    # + layer/group/volume/reserved + matrix(36)
+                    off = tcs + 4 + (32 if version == 1 else 20) + 8 + 8 + 36
+                    w_fx, h_fx = struct.unpack_from(">II", payload, off)
+                    width, height = w_fx >> 16, h_fx >> 16
+                    break
+    if b"ftyp" not in top_types and b"moov" not in top_types:
+        raise ValueError("not an MP4 payload (no ftyp/moov box)")
+    if duration_ms is None:
+        raise ValueError("MP4 missing moov/mvhd box")
+    return width or 0, height or 0, duration_ms
+
+
 def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
-    """Deterministic stand-in for formats with no pure-Python decoder
-    here (video containers). REAL IMPLEMENTATION GOES HERE (ffmpeg).
-    Derives stable pseudo-dimensions from a sha256 of the bytes so
-    tests can assert exact values."""
+    """Deterministic stand-in for media types with no decoder at all
+    (unknown/custom types). REAL IMPLEMENTATION GOES HERE (ffmpeg or a
+    type-specific library). Derives stable pseudo-dimensions from a
+    sha256 of the bytes so tests can assert exact values."""
     digest = hashlib.sha256(payload or b"").digest()
     width = 16 + digest[0] % 240
     height = 16 + digest[1] % 240
@@ -165,14 +276,14 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     """Arrow-batched decode stage (the only sanctioned Python stage).
 
     Dispatch is on the DECLARED ``media_type`` — image -> BMP, audio ->
-    WAV — never on payload magic bytes, so raw (un-encoded) payloads
-    that happen to begin with 'BM' or 'RIFF' are not misparsed. A
-    declared image/audio whose payload fails its container parse raises
-    ValueError (a corrupt input, surfaced — quarantine upstream of this
-    stage if tolerance is wanted). Types with no pure-Python decoder
-    here (video) fall back to the deterministic fake — or raise under
-    ``strict=True``, marking exactly where a production codec (ffmpeg)
-    plugs in.
+    WAV, video -> MP4 box walk — never on payload magic bytes, so raw
+    (un-encoded) payloads that happen to begin with 'BM' or 'RIFF' are
+    not misparsed. A declared image/audio/video whose payload fails its
+    container parse raises ValueError (a corrupt input, surfaced —
+    quarantine upstream of this stage if tolerance is wanted). Types
+    with no decoder at all (unknown/custom) fall back to the
+    deterministic fake — or raise under ``strict=True``, marking
+    exactly where a production codec plugs in.
     """
 
     def decode_one(p, t):
@@ -184,6 +295,9 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
         if t == "audio":
             ch, rate, _, dur = decode_wav(raw)
             return len(raw), 0, 0, dur, rate, ch, digest
+        if t == "video":
+            w, h, dur = decode_mp4(raw)
+            return len(raw), w, h, dur, 0, 0, digest
         if strict:
             raise NotImplementedError(
                 f"no pure-Python decoder for media_type={t!r}; production "

@@ -153,15 +153,22 @@ def test_quality_and_lang(spark, docs_df):
 
 
 def test_multimodal_decode_and_frames(spark):
-    """BMP and WAV decode for REAL (header parse); video falls back to
-    the declared sha-fake; strict raises only where no real decoder
-    exists."""
+    """BMP, WAV and MP4 decode for REAL (header/box parse); strict
+    raises only for media types with no decoder at all."""
     from logstash_filter_elasticsearch_spark.operators.multimodal import (
+        decode_mp4,
         decode_wav,
         encode_media,
         make_bmp,
+        make_mp4,
         make_wav,
     )
+
+    # MP4 round-trip: the decoder reads the genuine boxes the encoder
+    # wrote (16.16 fixed-point dims, timescale-1000 duration)
+    assert decode_mp4(make_mp4(640, 360, 7500, b"x" * 100)) == (640, 360, 7500)
+    with pytest.raises(ValueError, match="MP4|ftyp"):
+        decode_mp4(b"\x00" * 64)
 
     # cross-validate the WAV codec against the stdlib writer
     import io
@@ -193,10 +200,11 @@ def test_multimodal_decode_and_frames(spark):
     assert out["m3"]["sample_rate"] == 8000 and out["m3"]["channels"] == 1
     assert out["m3"]["duration_ms"] == 12 * 1000 // 8000
     assert out["m3"]["n_bytes"] == len(make_wav(12, b"pcmpcm"))
-    # video: declared fake (sha-derived), raw payload untouched
-    d = hashlib.sha256(b"vidbytes-22").digest()
-    assert out["m2"]["duration_ms"] == (d[2] << 8 | d[3])
-    assert out["m2"]["n_bytes"] == 11
+    # video: n=11 -> real MP4 (ftyp+moov+mdat = n+248 bytes), dims and
+    # duration decoded from the actual mvhd/tkhd boxes
+    assert (out["m2"]["width"], out["m2"]["height"]) == (16 + 11 % 113, 16 + 11 % 97)
+    assert out["m2"]["duration_ms"] == 500 + (11 % 40) * 1000
+    assert out["m2"]["n_bytes"] == 11 + 248
 
     frames = sample_frames(decode_media(encode_media(media)), every_ms=1000)
     by_id = {}
@@ -205,11 +213,12 @@ def test_multimodal_decode_and_frames(spark):
     assert by_id["m1"] == [0]  # image -> single frame
     assert len(by_id["m2"]) == max(out["m2"]["duration_ms"] // 1000, 1)
 
-    # strict: BMP/WAV still decode; the video row (no real codec) raises
+    # strict: image/audio/video all decode for real now; only a media
+    # type with no decoder at all raises
+    assert decode_media(encode_media(media), strict=True).count() == 3
+    unknown = media.withColumn("media_type", F.lit("pointcloud"))
     with pytest.raises(Exception, match="NotImplementedError|no pure-Python"):
-        decode_media(encode_media(media), strict=True).collect()
-    only_real = media.filter(F.col("media_type") != "video")
-    assert decode_media(encode_media(only_real), strict=True).count() == 2
+        decode_media(encode_media(unknown), strict=True).collect()
 
 
 def test_salted_agg_equals_unsalted(spark, docs_df):
