@@ -124,12 +124,20 @@ class HadoopFS:
                 opts,
             )
             return
+        self._rename_via_park(src, dst)
+
+    def _rename_via_park(self, src: str, dst: str) -> None:
+        """Two-step overwrite-rename for filesystems without
+        FileContext: park old dst at dst.prev, then move src into
+        place. Crash between the steps leaves dst.prev intact (the
+        Manifest loader falls back to it); stale .prev is only deleted
+        once the previous step's survivor exists."""
         if self.exists(dst):
             prev = dst + ".prev"
             self.delete(prev)
-            if not self._fs.rename(dst_p, self._path(prev)):
+            if not self._fs.rename(self._path(dst), self._path(prev)):
                 raise OSError(f"rename failed: {dst} -> {prev}")
-        if not self._fs.rename(src_p, dst_p):
+        if not self._fs.rename(self._path(src), self._path(dst)):
             raise OSError(f"rename failed: {src} -> {dst}")
 
     def read_text(self, path: str) -> str:

@@ -237,3 +237,56 @@ def test_route_names_with_special_chars(spark, tmp_path_factory):
     assert len(sinks) == 1 and sinks[0].startswith("route=")
     manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
     assert "a b:c" in manifest["routes"]
+
+
+def test_hadoopfs_overwrite_rename_no_delete_window(spark, tmp_path_factory):
+    """The manifest swap must never pass through a deleted state:
+    FileContext OVERWRITE rename replaces dst in one FS call. Also
+    exercises the park-at-.prev fallback (schemes with no
+    AbstractFileSystem) and its crash window directly."""
+    from logstash_filter_elasticsearch_spark.fsio import HadoopFS
+
+    local = str(tmp_path_factory.mktemp("fsio"))
+    fs = HadoopFS(spark, "file://" + local)
+    dst = f"file://{local}/m.json"
+
+    fs.write_text_atomic(dst, "v1")
+    assert fs.read_text(dst) == "v1"
+    # overwrite an existing dst through the FileContext path
+    fs.write_text_atomic(dst, "v2")
+    assert fs.read_text(dst) == "v2"
+    assert not os.path.exists(os.path.join(local, "m.json.prev"))
+
+    # fallback path: park-then-move keeps the old file at .prev
+    tmp = f"file://{local}/m.json.tmp"
+    stream = fs._fs.create(fs._path(tmp), True)
+    stream.write(bytearray(b"v3"))
+    stream.close()
+    fs._rename_via_park(tmp, dst)
+    assert fs.read_text(dst) == "v3"
+    assert fs.read_text(dst + ".prev") == "v2"
+
+
+def test_manifest_torn_publish_recovers_from_prev(tmp_path_factory):
+    """Crash between 'park old manifest at .prev' and 'move new one in'
+    (non-atomic object-store rename): resume must load .prev and keep
+    every committed route instead of forgetting them all."""
+    from logstash_filter_elasticsearch_spark.checkpoint import Manifest
+    from logstash_filter_elasticsearch_spark.fsio import LocalFS
+
+    base = str(tmp_path_factory.mktemp("manifest_prev"))
+    path = os.path.join(base, "_MANIFEST.json")
+    m = Manifest(path)
+    m.commit_route("web", "r1", {"rows": 10}, {"files": ["f"]})
+    m.commit_route("news", "r1", {"rows": 3}, {"files": ["g"]})
+
+    # simulate the torn window: main parked at .prev, new never landed
+    os.rename(path, path + ".prev")
+    assert not os.path.exists(path)
+
+    resumed = Manifest(path, LocalFS())
+    assert resumed.committed_routes == {"web", "news"}
+    assert resumed.route_entry("web")["metrics"]["rows"] == 10
+    # next flush re-materializes the main manifest
+    resumed.flush()
+    assert os.path.exists(path)
