@@ -1,0 +1,211 @@
+"""Property-based cross-engine fuzz of the ES|QL pipe compiler.
+
+The contract gate checks ~20 hand-written pipelines against DuckDB;
+this suite generates random small pipelines (WHERE / EVAL / STATS /
+KEEP / SORT / LIMIT over one seeded table) TOGETHER WITH their
+mechanically-paired DuckDB translation and asserts result equality —
+the same oracle method as the driver gate, automated over the
+combinatorial space. Each strategy draw emits (esql_fragment,
+sql_fragment) pairs from one pool, so the translation is derived, not
+re-implemented.
+
+Known dialect deltas are encoded in the SQL side of each pair, which
+is exactly the point — e.g. ES|QL SORT default null placement (ASC ->
+NULLS LAST, DESC -> NULLS FIRST) is spelled explicitly in the ORDER
+BY, and DuckDB's null-skipping concat() is avoided in favor of the
+null-propagating || that matches Spark's concat.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from logstash_filter_elasticsearch_spark.plans.esql import run_esql
+
+N_ROWS = 120
+
+
+def _base_pdf() -> pd.DataFrame:
+    rng = np.random.default_rng(2024)
+    val = np.round(rng.uniform(-50, 50, N_ROWS), 2)
+    val_null = rng.random(N_ROWS) < 0.15
+    grp = rng.choice(["a", "b", "c", "d", None], N_ROWS).tolist()
+    words = ["delta", "echo", "dart", "foxtrot", "drum", "lima"]
+    return pd.DataFrame(
+        {
+            "id": np.arange(N_ROWS, dtype=np.int64),
+            "n": rng.integers(0, 100, N_ROWS).astype(np.int64),
+            "val": [None if m else float(v) for m, v in zip(val_null, val)],
+            "grp": grp,
+            "txt": [
+                f"{rng.choice(words)}{int(rng.integers(0, 30))}"
+                for _ in range(N_ROWS)
+            ],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    pdf = _base_pdf()
+    sdf = spark.createDataFrame(pdf, "id long, n long, val double, grp string, txt string")
+    sdf = sdf.cache()
+    sdf.count()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    yield sdf, con
+    con.close()
+    sdf.unpersist()
+
+
+WHERES = [
+    ("val > 10.0", "val > 10.0"),
+    ("n % 3 == 0", "n % 3 = 0"),
+    ("grp == 'a' OR n > 80", "grp = 'a' OR n > 80"),
+    ("txt LIKE 'd%'", "txt LIKE 'd%'"),
+    ("NOT (n >= 40) AND val IS NOT NULL", "NOT (n >= 40) AND val IS NOT NULL"),
+    ("n > 10 AND n < 90", "n > 10 AND n < 90"),
+]
+
+EVALS = [
+    ("e = n * 2 + 1", "n * 2 + 1 AS e"),
+    ("e = CASE(val > 5.0, 1, 0)", "CASE WHEN val > 5.0 THEN 1 ELSE 0 END AS e"),
+    ("e = CASE(n % 2 == 0, n)", "CASE WHEN n % 2 = 0 THEN n END AS e"),
+    ("e = ABS(n - 42)", "abs(n - 42) AS e"),
+    # || propagates NULL like Spark concat (DuckDB concat() skips NULLs)
+    ("e = CONCAT(grp, '_x')", "(grp || '_x') AS e"),
+    ("e = TO_UPPER(txt)", "upper(txt) AS e"),
+]
+
+AGGS = [
+    ("s", "SUM(n)", "CAST(sum(n) AS BIGINT) AS s"),
+    ("c", "COUNT(*)", "count(*) AS c"),
+    ("mx", "MAX(val)", "max(val) AS mx"),
+    ("av", "AVG(val)", "avg(val) AS av"),
+    ("mn", "MIN(n)", "CAST(min(n) AS BIGINT) AS mn"),
+]
+
+ROW_SORT_COLS = ["n", "val", "id"]
+
+
+@st.composite
+def pipeline_pairs(draw):
+    """One random pipeline as (esql_statement, duckdb_sql, ordered)."""
+    where = draw(st.one_of(st.none(), st.sampled_from(WHERES)))
+    ev = draw(st.one_of(st.none(), st.sampled_from(EVALS)))
+    mode = draw(st.sampled_from(["stats", "rows"]))
+
+    esql = ["FROM t"]
+    if where:
+        esql.append(f"WHERE {where[0]}")
+    if ev:
+        esql.append(f"EVAL {ev[0]}")
+    where_sql = f"WHERE {where[1]}" if where else ""
+    base_cols = "id, n, val, grp, txt" + (f", {ev[1]}" if ev else "")
+    inner = f"SELECT {base_cols} FROM t {where_sql}"
+
+    if mode == "stats":
+        aggs = draw(
+            st.lists(st.sampled_from(AGGS), min_size=1, max_size=3, unique=True)
+        )
+        by = draw(st.booleans())
+        esql_aggs = ", ".join(f"{a[0]} = {a[1]}" for a in aggs)
+        sql_aggs = ", ".join(a[2] for a in aggs)
+        if by:
+            esql.append(f"STATS {esql_aggs} BY grp")
+            sql = f"SELECT grp, {sql_aggs} FROM ({inner}) GROUP BY grp"
+        else:
+            esql.append(f"STATS {esql_aggs}")
+            sql = f"SELECT {sql_aggs} FROM ({inner})"
+        ordered = by and draw(st.booleans())
+        if ordered:
+            desc = draw(st.booleans())
+            dir_esql = "DESC" if desc else ""
+            # ES|QL default null placement, spelled out for DuckDB
+            dir_sql = "DESC NULLS FIRST" if desc else "ASC NULLS LAST"
+            esql.append(f"SORT grp {dir_esql}")
+            sql = f"SELECT * FROM ({sql}) ORDER BY grp {dir_sql}"
+            limit = draw(st.one_of(st.none(), st.integers(1, 4)))
+            if limit:
+                esql.append(f"LIMIT {limit}")
+                sql += f" LIMIT {limit}"
+        return " | ".join(esql), sql, ordered
+
+    keep = draw(st.booleans())
+    cols = "id, n, val" + (", e" if ev else "")
+    if keep:
+        esql.append(f"KEEP {cols}")
+        sql = f"SELECT {cols} FROM ({inner})"
+    else:
+        sql = inner
+    ordered = draw(st.booleans())
+    if ordered:
+        col = draw(st.sampled_from(ROW_SORT_COLS))
+        desc = draw(st.booleans())
+        dir_esql = "DESC" if desc else ""
+        dir_sql = "DESC NULLS FIRST" if desc else "ASC NULLS LAST"
+        # id tiebreak makes SORT+LIMIT deterministic across engines
+        esql.append(f"SORT {col} {dir_esql}, id")
+        sql = f"SELECT * FROM ({sql}) ORDER BY {col} {dir_sql}, id"
+        limit = draw(st.one_of(st.none(), st.integers(1, 10)))
+        if limit:
+            esql.append(f"LIMIT {limit}")
+            sql += f" LIMIT {limit}"
+    return " | ".join(esql), sql, ordered
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        return round(f, 6)
+    if isinstance(v, (np.integer, int)):
+        return int(v)
+    return v
+
+
+def _frame_rows(pdf: pd.DataFrame, ordered: bool):
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_norm(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    if not ordered:
+        rows.sort(key=repr)
+    return cols, rows
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(pipeline_pairs())
+def test_random_pipeline_matches_duckdb(engines, pair):
+    sdf, con = engines
+    esql, sql, ordered = pair
+    spark_pdf = run_esql(sdf.sparkSession, esql, tables={"t": sdf}).toPandas()
+    duck_pdf = con.sql(sql).df()
+    # pandas NaN <-> None: unify missing values before comparison
+    spark_pdf = spark_pdf.astype(object).where(pd.notna(spark_pdf), None)
+    duck_pdf = duck_pdf.astype(object).where(pd.notna(duck_pdf), None)
+    s_cols, s_rows = _frame_rows(spark_pdf, ordered)
+    d_cols, d_rows = _frame_rows(duck_pdf, ordered)
+    assert s_cols == d_cols, f"columns diverge for: {esql}\n{sql}"
+    assert s_rows == d_rows, (
+        f"rows diverge for: {esql}\n{sql}\nspark={s_rows[:5]}\nduck={d_rows[:5]}"
+    )
