@@ -867,6 +867,67 @@ def q_esql_rows_to_target(spark, sf_dir):
     )
 
 
+def q_esql_inlinestats(spark, sf_dir):
+    """INLINESTATS: group aggregates appended to every row (no
+    collapse). Spark plan: small per-group aggregate broadcast-joined
+    back (eqNullSafe), never a shuffle of the event table; the oracle
+    states the same semantics as window functions."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    df = run_esql(
+        spark,
+        "FROM events | WHERE event_type == 'purchase' "
+        "| INLINESTATS avg_val = AVG(value), cnt = COUNT(*) BY user_id "
+        "| KEEP event_id, user_id, value, avg_val, cnt "
+        "| SORT event_id | LIMIT 500",
+        tables=tables,
+    )
+    return df.withColumn("avg_val", F.round("avg_val", 5))
+
+
+def q_esql_sample(spark, sf_dir):
+    """SAMPLE probability seed: Bernoulli row sample. Random sampling
+    has no cross-engine value oracle by construction (Spark seeds per
+    partition); the driver records the rows-only check, and the pytest
+    suite pins reproducibility + statistical bounds."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    return run_esql(
+        spark,
+        "FROM events | SAMPLE 0.2 7 | KEEP event_id, user_id | SORT event_id",
+        tables=tables,
+    )
+
+
+def q_esql_change_point(spark, sf_dir):
+    """CHANGE_POINT (simplified Welch-t mean-shift detector, stated in
+    closed form): the oracle replicates the cumulative-sums scoring,
+    9-decimal argmax stabilization and Gaussian-tail pvalue in SQL.
+    Output is the single flagged row."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    df = run_esql(
+        spark,
+        "FROM events | WHERE user_id == 3 "
+        "| CHANGE_POINT value ON event_id",
+        tables=tables,
+    )
+    return (
+        df.filter(F.col("type").isNotNull())
+        .select("event_id", "type", F.round("pvalue", 4).alias("pvalue"))
+    )
+
+
+def q_esql_fork(spark, sf_dir):
+    """FORK: two branches over the same filtered input, unioned by
+    column name with a _fork discriminator; missing columns NULL."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    return run_esql(
+        spark,
+        "FROM events | WHERE user_id == 1 | FORK "
+        "(WHERE event_type == 'purchase' | KEEP event_id, value) "
+        "(STATS cnt = COUNT(*) BY event_type)",
+        tables=tables,
+    )
+
+
 def q_esql_rows_to_target_json(spark, sf_dir):
     """A17 faithful variant: rows -> target array with PER-ROW null
     dropping (esql_executor.rb:93-99 ``row.reject { |_, v| v.nil? }``).
@@ -1027,6 +1088,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_date_diff": q_esql_date_diff,
         # -- new in r3 --
         "esql_rows_to_target_json": q_esql_rows_to_target_json,
+        "esql_inlinestats": q_esql_inlinestats,
+        "esql_sample": q_esql_sample,
+        "esql_change_point": q_esql_change_point,
+        "esql_fork": q_esql_fork,
         # -- certified green in r2, newer ops first --
         "esql_first_row": q_esql_first_row,
         "esql_rows_to_target": q_esql_rows_to_target,
@@ -1677,6 +1742,56 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY event_id)) AS hits_json,
                    count(*) AS _meta_total_values
             FROM events WHERE user_id = 1
+        """,
+        "esql_change_point": """
+            -- replicate the Welch-t cumulative scoring EXACTLY (same
+            -- associativity, same 1e-300 floor, same 9-decimal argmax
+            -- stabilization); pvalue compared at 4 decimals
+            WITH s AS (
+              SELECT event_id AS k, CAST(value AS DOUBLE) AS v
+              FROM events WHERE user_id = 3
+            ), c AS (
+              SELECT k,
+                count(v) OVER w AS cl, sum(v) OVER w AS sl,
+                sum(v*v) OVER w AS ql,
+                count(v) OVER () AS ct, sum(v) OVER () AS st,
+                sum(v*v) OVER () AS qt
+              FROM s
+              WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            ), t AS (
+              SELECT k, CASE WHEN cl >= 2 AND (ct - cl) >= 2 THEN
+                round(abs(sl/cl - (st - sl)/(ct - cl)) /
+                  sqrt(greatest(
+                    ((ql - sl*sl/cl)/(cl - 1))/cl +
+                    (((qt - ql) - (st - sl)*(st - sl)/(ct - cl))/(ct - cl - 1))
+                      /(ct - cl),
+                    1e-300)), 9)
+              END AS tt FROM c
+            ), b AS (SELECT max(tt) AS best FROM t),
+            f AS (SELECT k, lag(tt) OVER (ORDER BY k) AS prev_t FROM t)
+            SELECT f.k AS event_id, 'step_change' AS type,
+                   round(least(exp(-b.best*b.best/2), 1.0), 4) AS pvalue
+            FROM f, b
+            WHERE f.prev_t = b.best
+            ORDER BY f.k LIMIT 1
+        """,
+        "esql_fork": """
+            SELECT event_id, value, 'fork1' AS _fork,
+                   NULL::VARCHAR AS event_type, NULL::BIGINT AS cnt
+            FROM events WHERE user_id = 1 AND event_type = 'purchase'
+            UNION ALL
+            SELECT NULL, NULL, 'fork2', event_type, count(*)
+            FROM events WHERE user_id = 1 GROUP BY event_type
+        """,
+        "esql_inlinestats": """
+            -- INLINESTATS == aggregates appended per row: stated as
+            -- window functions over the same filtered set
+            SELECT event_id, user_id, value,
+                   round(avg(value) OVER (PARTITION BY user_id), 5) AS avg_val,
+                   count(*) OVER (PARTITION BY user_id) AS cnt
+            FROM events WHERE event_type = 'purchase'
+            ORDER BY event_id LIMIT 500
         """,
         "esql_rows_to_target_json": """
             -- per-row null-drop: the JSON object for odd event_ids has

@@ -447,15 +447,25 @@ def _translate_expr(expr: str) -> str:
 
 
 def _split_pipes(query: str) -> list[str]:
-    """Split on top-level '|' respecting quoted strings (incl. escapes)."""
-    parts, buf = [], []
+    """Split on top-level '|' respecting quoted strings (incl. escapes)
+    and parentheses — a '|' inside FORK's (branch) groups belongs to
+    the branch's own pipe list, not the outer statement."""
+    parts, buf, depth = [], [], 0
     q = _QuoteState()
     for ch in query:
-        if q.in_quote or ch != "|":
+        if q.in_quote:
             buf.append(ch)
-        else:
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth = max(depth - 1, 0)
+            buf.append(ch)
+        elif ch == "|" and depth == 0:
             parts.append("".join(buf).strip())
             buf = []
+        else:
+            buf.append(ch)
         q.feed(ch)
     parts.append("".join(buf).strip())
     return [p for p in parts if p]
@@ -549,6 +559,24 @@ def _stats_agg_expr(item: str):
     return F.expr(f"{agg} FILTER (WHERE {cond})")
 
 
+def _parse_stats_body(body: str) -> tuple[list, list[str]]:
+    """Shared STATS/INLINESTATS body parse: ``name = AGG(x) [WHERE c],
+    ... [BY g1, g2]`` -> (aliased agg Columns, group column names)."""
+    by_cols: list[str] = []
+    by_at = _find_top_keyword(body, "BY")
+    if by_at >= 0:
+        by_cols = [c.strip() for c in _split_commas(body[by_at + 2 :])]
+        body = body[:by_at].strip()
+    aggs = []
+    for item in _split_commas(body):
+        if "=" in item.split("(")[0]:
+            name, expr = item.split("=", 1)
+            aggs.append(_stats_agg_expr(expr.strip()).alias(name.strip()))
+        else:
+            aggs.append(_stats_agg_expr(item))
+    return aggs, by_cols
+
+
 def _resolve_from(
     spark: SparkSession, spec: str, tables: dict[str, DataFrame] | None
 ) -> DataFrame:
@@ -626,7 +654,20 @@ def run_esql(
     else:
         raise EsqlValidationError("ES|QL statement must start with FROM or ROW")
 
-    for stage in stages[1:]:
+    return _run_stages(spark, df, stages[1:], params, tables)
+
+
+def _run_stages(
+    spark: SparkSession,
+    df: DataFrame,
+    stages: list[str],
+    params: dict,
+    tables: dict[str, DataFrame] | None,
+) -> DataFrame:
+    """Apply a list of pipe stages to ``df`` (run_esql's body; also the
+    entry point for FORK branches, which re-run the same machinery on
+    the branch's input table)."""
+    for stage in stages:
         m = re.match(r"^([A-Za-z_]+)\s*(.*)$", stage, re.S)
         cmd, body = m.group(1).upper(), m.group(2).strip()
         body = _substitute(body, params)
@@ -634,21 +675,58 @@ def run_esql(
         if cmd == "WHERE":
             df = df.filter(F.expr(_translate_expr(body)))
         elif cmd == "STATS":
-            by_cols: list[str] = []
-            by_at = _find_top_keyword(body, "BY")
-            if by_at >= 0:
-                by_cols = [c.strip() for c in _split_commas(body[by_at + 2 :])]
-                body = body[:by_at].strip()
-            aggs = []
-            for item in _split_commas(body):
-                if "=" in item.split("(")[0]:
-                    name, expr = item.split("=", 1)
-                    aggs.append(
-                        _stats_agg_expr(expr.strip()).alias(name.strip())
-                    )
-                else:
-                    aggs.append(_stats_agg_expr(item))
+            aggs, by_cols = _parse_stats_body(body)
             df = df.groupBy(*by_cols).agg(*aggs) if by_cols else df.agg(*aggs)
+        elif cmd == "INLINESTATS":
+            # like STATS, but the aggregates are APPENDED to every row
+            # instead of collapsing the table. Compute the (small, one
+            # row per group) aggregate table, then broadcast-join it
+            # back — a window formulation would force a full shuffle of
+            # the big table on the group key, and MEDIAN/PERCENTILE
+            # aren't window-able anyway. eqNullSafe: a NULL group key is
+            # its own group and its rows receive that group's values.
+            aggs, by_cols = _parse_stats_body(body)
+            if by_cols:
+                grouped = df.groupBy(*by_cols).agg(*aggs)
+                agg_names = [c for c in grouped.columns if c not in by_cols]
+                joined = grouped.select(
+                    *[F.col(c).alias(f"_is_{c}") for c in by_cols],
+                    *agg_names,
+                )
+                cond = F.lit(True)
+                for c in by_cols:
+                    cond = cond & F.col(c).eqNullSafe(F.col(f"_is_{c}"))
+                df = (
+                    df.drop(*[c for c in agg_names if c in df.columns])
+                    .join(F.broadcast(joined), cond, "left")
+                    .drop(*[f"_is_{c}" for c in by_cols])
+                )
+            else:
+                grouped = df.agg(*aggs)
+                df = df.drop(
+                    *[c for c in grouped.columns if c in df.columns]
+                ).crossJoin(F.broadcast(grouped))
+        elif cmd == "SAMPLE":
+            # SAMPLE probability [seed]: Bernoulli row sample. With a
+            # seed the sample is reproducible for a fixed partitioning
+            # (Spark seeds per partition), which is the engine-native
+            # contract; cross-engine equality is not defined for random
+            # sampling, so this op carries a rows-only oracle.
+            parts = body.split()
+            if len(parts) not in (1, 2):
+                raise EsqlValidationError("SAMPLE takes (probability[, seed])")
+            try:
+                prob = float(parts[0])
+            except ValueError:
+                raise EsqlValidationError(
+                    f"SAMPLE probability must be a number, got {parts[0]!r}"
+                ) from None
+            if not 0.0 < prob < 1.0:
+                raise EsqlValidationError(
+                    f"SAMPLE probability must be in (0, 1), got {prob}"
+                )
+            seed = int(parts[1]) if len(parts) == 2 else None
+            df = df.sample(fraction=prob, seed=seed)
         elif cmd == "SORT":
             # SORT col [ASC|DESC] [NULLS FIRST|NULLS LAST], ...
             # ES|QL defaults: ASC; nulls treated as larger than any
@@ -722,9 +800,131 @@ def run_esql(
             df = _apply_enrich(df, body, tables or {})
         elif cmd == "LOOKUP":
             df = _apply_lookup_join(df, body, tables or {})
+        elif cmd == "CHANGE_POINT":
+            df = _apply_change_point(df, body)
+        elif cmd == "FORK":
+            df = _apply_fork(spark, df, body, params, tables)
         else:
             raise EsqlValidationError(f"Unsupported ES|QL command: {cmd}")
     return df
+
+
+def _apply_change_point(df: DataFrame, body: str) -> DataFrame:
+    """CHANGE_POINT value ON key [AS type_col, pvalue_col]: annotate the
+    most likely mean-shift point of the series ordered by ``key``.
+
+    Simplified, deterministic detector (ES runs its ML change-point
+    model server-side; this engine substitutes a classical test): every
+    split of the key-ordered series is scored with Welch's t statistic
+    from CUMULATIVE sums/sumsq (one window pass, no per-split rescan),
+    and the row starting the right segment of the best split is
+    annotated ``type='step_change'`` with a Gaussian-tail approximation
+    for ``pvalue`` (exp(-t^2/2) Mills bound, clipped to 1). All other
+    rows carry NULLs, matching the ES output shape.
+
+    Scale note: the ordered window spans the whole input — deliberate,
+    a change-point is a property of ONE series; filter/group to a
+    single entity's series first (the same contract ES documents).
+    The statistic is rounded to 9 decimals before the argmax so the
+    pick is stable across engines' float summation orders.
+    """
+    from pyspark.sql.window import Window
+
+    m = re.match(
+        r"^(\S+)\s+ON\s+(\S+?)(?:\s+AS\s+(\w+)\s*,\s*(\w+))?$", body.strip(), re.I
+    )
+    if not m:
+        raise EsqlValidationError(
+            "CHANGE_POINT syntax: value ON key [AS type_col, pvalue_col]"
+        )
+    val, key, type_col, pval_col = (
+        m.group(1), m.group(2), m.group(3) or "type", m.group(4) or "pvalue",
+    )
+    v = F.col(val).cast("double")
+    w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy(key).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cl = F.count(v).over(w)
+    sl = F.sum(v).over(w)
+    ql = F.sum(v * v).over(w)
+    ct, st, qt = F.count(v).over(wall), F.sum(v).over(wall), F.sum(v * v).over(wall)
+    cr, sr, qr = ct - cl, st - sl, qt - ql
+    ml, mr = sl / cl, sr / cr
+    var_l = (ql - sl * sl / cl) / (cl - 1)
+    var_r = (qr - sr * sr / cr) / (cr - 1)
+    se = F.sqrt(F.greatest(var_l / cl + var_r / cr, F.lit(1e-300)))
+    t_stat = F.when(
+        (cl >= 2) & (cr >= 2), F.round(F.abs(ml - mr) / se, 9)
+    )
+    ann = df.withColumn("_cp_t", t_stat).withColumn(
+        "_cp_best",
+        F.max("_cp_t").over(wall),
+    )
+    # the flagged row is the FIRST row of the right segment (the split
+    # after this statistic's left prefix), i.e. lead of the argmax row;
+    # equivalently: the row whose PREVIOUS cumulative stats achieved the
+    # best score — smallest key wins ties (deterministic)
+    wlag = Window.orderBy(key)
+    ann = ann.withColumn("_cp_prev_t", F.lag("_cp_t").over(wlag))
+    is_cp = F.col("_cp_prev_t").eqNullSafe(F.col("_cp_best")) & F.col(
+        "_cp_best"
+    ).isNotNull()
+    first_cp = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
+    ann = ann.withColumn("_cp_seen", F.coalesce(
+        F.max(F.when(is_cp, F.lit(1)).otherwise(F.lit(0))).over(first_cp),
+        F.lit(0),
+    ))
+    flag = is_cp & (F.col("_cp_seen") == 0)
+    pval = F.least(F.exp(-F.col("_cp_best") * F.col("_cp_best") / 2), F.lit(1.0))
+    out = ann.withColumn(
+        type_col, F.when(flag, F.lit("step_change"))
+    ).withColumn(pval_col, F.when(flag, F.round(pval, 9)))
+    return out.drop("_cp_t", "_cp_best", "_cp_prev_t", "_cp_seen")
+
+
+def _apply_fork(
+    spark: SparkSession,
+    df: DataFrame,
+    body: str,
+    params: dict,
+    tables: dict[str, DataFrame] | None,
+) -> DataFrame:
+    """FORK (pipe...) (pipe...): run each parenthesized branch on the
+    CURRENT table and union the results. Rows carry ``_fork`` =
+    'fork1'..'forkN'; branch schemas are aligned by column name with
+    missing columns NULL (allowMissingColumns union), matching ES|QL's
+    branch-merge behavior."""
+    branches: list[str] = []
+    depth, start = 0, None
+    q = _QuoteState()
+    for i, ch in enumerate(body):
+        in_q = q.in_quote
+        q.feed(ch)
+        if in_q:
+            continue
+        if ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                branches.append(body[start:i])
+            elif depth < 0:
+                raise EsqlValidationError("FORK: unbalanced parentheses")
+    if depth != 0:
+        raise EsqlValidationError("FORK: unbalanced parentheses")
+    if len(branches) < 2:
+        raise EsqlValidationError("FORK needs at least two (branch) groups")
+    outs = []
+    for i, br in enumerate(branches, start=1):
+        sub = _run_stages(spark, df, _split_pipes(br), params, tables)
+        outs.append(sub.withColumn("_fork", F.lit(f"fork{i}")))
+    merged = outs[0]
+    for sub in outs[1:]:
+        merged = merged.unionByName(sub, allowMissingColumns=True)
+    return merged
 
 
 def _split_input_pattern(body: str) -> tuple[str, str]:

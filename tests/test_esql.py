@@ -604,3 +604,100 @@ def test_triple_quote_inside_literal_allowed(spark):
     assert [r["msg"] for r in out] == ['"""']
     with pytest.raises(EsqlValidationError, match="triple-quoted"):
         run_esql(spark, 'FROM t | WHERE msg == """x"""', tables={"t": df})
+
+
+def test_inlinestats_appends_group_aggregates(spark):
+    """INLINESTATS keeps every row and appends the group aggregate;
+    NULL group keys form their own group (eqNullSafe join-back); an
+    existing column with the aggregate's name is replaced."""
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, None, 40), (5, None, 60)],
+        "id int, grp string, n int",
+    )
+    rows = run_esql(
+        spark,
+        "FROM t | INLINESTATS avg_n = AVG(n), c = COUNT(*) BY grp | SORT id",
+        tables={"t": df},
+    ).collect()
+    assert [r["avg_n"] for r in rows] == [15.0, 15.0, 30.0, 50.0, 50.0]
+    assert [r["c"] for r in rows] == [2, 2, 1, 2, 2]
+    assert [r["id"] for r in rows] == [1, 2, 3, 4, 5]  # rows preserved
+
+    # no BY: one global aggregate appended to every row
+    rows = run_esql(
+        spark, "FROM t | INLINESTATS total = SUM(n) | SORT id", tables={"t": df}
+    ).collect()
+    assert all(r["total"] == 160 for r in rows) and len(rows) == 5
+
+    # shadowing: INLINESTATS n = MAX(n) replaces the column
+    rows = run_esql(
+        spark, "FROM t | INLINESTATS n = MAX(n) BY grp | SORT id", tables={"t": df}
+    ).collect()
+    assert [r["n"] for r in rows] == [20, 20, 30, 60, 60]
+
+
+def test_sample_reproducible_and_validated(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "n")
+    a = run_esql(spark, "FROM t | SAMPLE 0.25 7", tables={"t": df}).collect()
+    b = run_esql(spark, "FROM t | SAMPLE 0.25 7", tables={"t": df}).collect()
+    assert [r["n"] for r in a] == [r["n"] for r in b]  # seeded: reproducible
+    assert 300 < len(a) < 700  # Bernoulli ~500
+    assert set(r["n"] for r in a) <= set(range(2000))
+    with pytest.raises(EsqlValidationError, match="probability"):
+        run_esql(spark, "FROM t | SAMPLE 1.5", tables={"t": df})
+    with pytest.raises(EsqlValidationError, match="probability"):
+        run_esql(spark, "FROM t | SAMPLE x", tables={"t": df})
+
+
+def test_change_point_step_series(spark):
+    """A clean mean shift: level 10 for keys 0-9, level 50 for 10-19 —
+    the detector must flag key 10 (first row of the right segment) and
+    leave every other row NULL."""
+    rows = [(k, 10.0 + (k % 3) * 0.1) for k in range(10)] + [
+        (k, 50.0 + (k % 3) * 0.1) for k in range(10, 20)
+    ]
+    df = spark.createDataFrame(rows, "k int, v double")
+    out = run_esql(
+        spark, "FROM t | CHANGE_POINT v ON k | SORT k", tables={"t": df}
+    ).collect()
+    flagged = [r for r in out if r["type"] is not None]
+    assert len(flagged) == 1
+    assert flagged[0]["k"] == 10 and flagged[0]["type"] == "step_change"
+    assert 0.0 <= flagged[0]["pvalue"] < 1e-6  # overwhelming shift
+    assert all(r["pvalue"] is None for r in out if r["k"] != 10)
+
+    # custom output names
+    out2 = run_esql(
+        spark, "FROM t | CHANGE_POINT v ON k AS cp_kind, cp_p", tables={"t": df}
+    )
+    assert {"cp_kind", "cp_p"} <= set(out2.columns)
+
+    with pytest.raises(EsqlValidationError, match="CHANGE_POINT"):
+        run_esql(spark, "FROM t | CHANGE_POINT v", tables={"t": df})
+
+
+def test_fork_branches_union_by_name(spark, esql_docs):
+    """FORK runs each (branch) on the same input and unions by column
+    name with a _fork discriminator; inner '|' belong to the branch."""
+    out = run_esql(
+        spark,
+        "FROM my_index | FORK "
+        "(WHERE type == 'a' | EVAL src = 'letters' | KEEP message, src) "
+        "(STATS cnt = COUNT(*) BY type | WHERE cnt > 1)",
+        tables=esql_docs,
+    )
+    rows = out.collect()
+    forks = {r["_fork"] for r in rows}
+    assert forks == {"fork1", "fork2"}
+    f1 = [r for r in rows if r["_fork"] == "fork1"]
+    f2 = sorted(
+        (r["type"], r["cnt"]) for r in rows if r["_fork"] == "fork2"
+    )
+    assert len(f1) == 2 and all(r["src"] == "letters" for r in f1)
+    assert f2 == [("a", 2), ("b", 2)]
+    # missing columns null-filled across branches
+    assert all(r["cnt"] is None for r in f1)
+    assert all(r["message"] is None for r in rows if r["_fork"] == "fork2")
+
+    with pytest.raises(EsqlValidationError, match="at least two"):
+        run_esql(spark, "FROM my_index | FORK (WHERE type == 'a')", tables=esql_docs)
