@@ -52,13 +52,23 @@ class Manifest:
         return run_id
 
     def commit_route(
-        self, route: str, run_id: str, metrics: dict, lineage: dict
+        self,
+        route: str,
+        run_id: str,
+        metrics: dict,
+        lineage: dict,
+        path: str | None = None,
     ) -> None:
+        """``path`` is the route's sink location RELATIVE to the
+        manifest's directory. In snapshot publish mode the manifest
+        pointer IS the commit (data dirs are immutable, per-run); in
+        rename mode it is recorded for uniform reader resolution."""
         self.data["routes"][route] = {
             "run_id": run_id,
             "committed_at": time.time(),
             "metrics": metrics,
             "lineage": lineage,
+            **({"path": path} if path else {}),
         }
         self.flush()
 

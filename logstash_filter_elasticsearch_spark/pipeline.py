@@ -42,6 +42,37 @@ from logstash_filter_elasticsearch_spark.operators.parse import parse_doc_ids
 QUARANTINE_ROUTE = "_quarantine"
 
 
+def _gc_unreferenced_snapshots(fs, out_dir: str, manifest: Manifest) -> None:
+    """Delete snapshot run-dirs no committed route references — the
+    debris of crashed runs. Granularity is the run dir: a partially
+    committed crashed run keeps its dir (some routes point into it)
+    until later runs have re-committed every one of its routes."""
+    referenced = {e["run_id"] for e in manifest.data["routes"].values()}
+    snaps = os.path.join(out_dir, "snapshots")
+    if not fs.exists(snaps):
+        return
+    for name in fs.list_names(snaps):
+        if name not in referenced:
+            fs.delete(os.path.join(snaps, name))
+
+
+def committed_route_paths(out_dir: str, fs=None, spark=None) -> dict[str, str]:
+    """route -> sink directory, resolved THROUGH the manifest.
+
+    In snapshot publish mode this is the only correct way to find a
+    sink (data dirs are per-run and immutable; the manifest pointer is
+    the atomic truth — reading sinks/ or globbing snapshots/ would see
+    uncommitted or superseded data). Works uniformly for rename mode,
+    including manifests from before the path field existed."""
+    fs = fs or fs_for(out_dir, spark)
+    manifest = Manifest(os.path.join(out_dir, "_MANIFEST.json"), fs=fs)
+    out = {}
+    for route, e in manifest.data["routes"].items():
+        rel = e.get("path") or "sinks/route=" + urllib.parse.quote(route, safe="")
+        out[route] = os.path.join(out_dir, rel)
+    return out
+
+
 @dataclass
 class PipelineConfig:
     sequences_path: str
@@ -52,6 +83,18 @@ class PipelineConfig:
     # write goes through the Iceberg committer, whose snapshot commit
     # subsumes publish_atomic (the manifest still carries metrics).
     sink_format: str = "parquet"
+    # Publish protocol:
+    #   "rename"   — stage + per-route rename into sinks/ (atomic on
+    #                POSIX/HDFS; copy+delete on object stores).
+    #   "snapshot" — Iceberg-style: sinks are IMMUTABLE per-run dirs
+    #                under snapshots/<run_id>/ and the commit is the
+    #                manifest pointer swap — the only operation that
+    #                must be atomic, and the manifest already is
+    #                (FileContext overwrite-rename + .prev fallback).
+    #                No data rename ever happens, so the protocol is
+    #                object-store-safe by construction; readers resolve
+    #                sink paths through committed_route_paths().
+    publish_mode: str = "rename"
     # Fan-out write strategy:
     #   "direct"    — no shuffle; every scan task writes its slice of each
     #                 route it sees (sort-free via
@@ -173,7 +216,14 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         }
     )
 
-    staging = os.path.join(cfg.out_dir, f"_staging_{run_id}")
+    snapshot_mode = cfg.publish_mode == "snapshot"
+    if cfg.publish_mode not in ("rename", "snapshot"):
+        raise ValueError(f"publish_mode must be rename|snapshot, got {cfg.publish_mode!r}")
+    staging = (
+        os.path.join(cfg.out_dir, "snapshots", run_id)
+        if snapshot_mode
+        else os.path.join(cfg.out_dir, f"_staging_{run_id}")
+    )
     writable = df
     if committed_before:  # resume: skip already-committed sinks
         writable = writable.filter(~F.col("route").isin(sorted(committed_before)))
@@ -225,11 +275,17 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         input_files = spark.read.parquet(cfg.sequences_path).inputFiles()
         for d in staged_dirs:
             route = urllib.parse.unquote(d.split("=", 1)[1])
-            publish_atomic(
-                os.path.join(staging, d),
-                os.path.join(cfg.out_dir, "sinks", d),
-                fs=fs,
-            )
+            if snapshot_mode:
+                # data stays where the writer left it (immutable per-run
+                # dir); the manifest pointer swap IS the publish
+                rel_path = f"snapshots/{run_id}/{d}"
+            else:
+                publish_atomic(
+                    os.path.join(staging, d),
+                    os.path.join(cfg.out_dir, "sinks", d),
+                    fs=fs,
+                )
+                rel_path = f"sinks/{d}"
             manifest.commit_route(
                 route,
                 run_id,
@@ -239,9 +295,13 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
                     "input_files_sample": sorted(input_files)[:5],
                     "lookup_path": cfg.lookup_path,
                 },
+                path=rel_path,
             )
     phase_t["publish_s"] = round(_time.monotonic() - t0, 3)
-    fs.delete(staging)
+    if snapshot_mode:
+        _gc_unreferenced_snapshots(fs, cfg.out_dir, manifest)
+    else:
+        fs.delete(staging)
 
     # per-sink aggregates sink (rebuilt from the manifest every run).
     # Written with pyarrow directly: it is driver-side metadata of

@@ -290,3 +290,72 @@ def test_manifest_torn_publish_recovers_from_prev(tmp_path_factory):
     # next flush re-materializes the main manifest
     resumed.flush()
     assert os.path.exists(path)
+
+
+def test_snapshot_publish_mode(spark, seq_data, tmp_path_factory):
+    """Iceberg-style snapshot commit on our own machinery: sinks are
+    immutable per-run dirs, publish is ONLY the manifest pointer swap
+    (no data rename ever), readers resolve through the manifest, crash
+    debris is GC'd once unreferenced."""
+    from logstash_filter_elasticsearch_spark.pipeline import committed_route_paths
+
+    out = str(tmp_path_factory.mktemp("pipe_snap"))
+    cfg = PipelineConfig(
+        sequences_path=seq_data["seq_dir"],
+        lookup_path=seq_data["lookup"],
+        out_dir=out,
+        publish_mode="snapshot",
+    )
+    m1 = run_pipeline(spark, cfg)
+    expected, _ = python_oracle(seq_data["seq_dir"])
+    assert sorted(m1["committed"]) == sorted(expected)
+    # no rename-mode sinks dir; data lives under snapshots/<run_id>/
+    assert not os.path.exists(os.path.join(out, "sinks"))
+    paths = committed_route_paths(out)
+    assert set(paths) == set(expected)
+    for route, p in paths.items():
+        assert f"snapshots/{m1['run_id']}/" in p
+        t = pads.dataset(p).to_table()
+        assert t.num_rows == expected[route]["rows"]
+
+    # resume: everything skipped, no new snapshot dir kept
+    m2 = run_pipeline(spark, cfg)
+    assert sorted(m2["skipped_previously_committed"]) == sorted(expected)
+    snaps = os.listdir(os.path.join(out, "snapshots"))
+    assert snaps == [m1["run_id"]]  # m2's empty run dir was GC'd
+
+    # crash-resume: forget one route -> only it is rewritten, into a NEW
+    # run dir; the old dir survives (other routes still point there)
+    manifest_path = os.path.join(out, "_MANIFEST.json")
+    manifest = json.load(open(manifest_path))
+    victim = sorted(expected)[0]
+    del manifest["routes"][victim]
+    json.dump(manifest, open(manifest_path, "w"))
+    m3 = run_pipeline(spark, cfg)
+    assert set(m3["skipped_previously_committed"]) == set(expected) - {victim}
+    paths3 = committed_route_paths(out)
+    assert f"snapshots/{m3['run_id']}/" in paths3[victim]
+    assert f"snapshots/{m1['run_id']}/" in paths3[sorted(expected)[1]]
+    t = pads.dataset(paths3[victim]).to_table()
+    assert t.num_rows == expected[victim]["rows"]
+    assert set(os.listdir(os.path.join(out, "snapshots"))) == {
+        m1["run_id"], m3["run_id"]
+    }
+
+    # debris GC: an unreferenced run dir disappears on the next run
+    debris = os.path.join(out, "snapshots", "deadbeef0000")
+    os.makedirs(debris)
+    open(os.path.join(debris, "junk"), "w").write("x")
+    run_pipeline(spark, cfg)
+    assert not os.path.exists(debris)
+
+    with pytest.raises(ValueError, match="publish_mode"):
+        run_pipeline(
+            spark,
+            PipelineConfig(
+                sequences_path=seq_data["seq_dir"],
+                lookup_path=seq_data["lookup"],
+                out_dir=out,
+                publish_mode="nope",
+            ),
+        )
