@@ -457,7 +457,9 @@ def lsh_near_dup_pairs(
         left.join(right, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "_va", "_vb", "_na", "_nb")
-        .distinct()
+        # dedup across tables on the ID PAIR only — a full-row distinct
+        # would hash/compare the two 64-double vectors per candidate
+        .dropDuplicates(["id_a", "id_b"])
     )
     return (
         cands.withColumn(
@@ -498,7 +500,8 @@ def lsh_topk(
         c_sig.join(F.broadcast(q_sig), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "_qv", "_qn", "neighbor_id", "_cv", "_cn")
-        .distinct()
+        # key the cross-table dedup on the ID pair, not the vectors
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.withColumn(
         "cos", dot(F.col("_qv"), F.col("_cv"), dim) / (F.col("_qn") * F.col("_cn"))
