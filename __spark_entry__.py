@@ -615,9 +615,11 @@ def q_esql_stats_multi(spark, sf_dir):
     tables = {"orders": _t(spark, sf_dir, "orders")}
     return run_esql(
         spark,
+        # integral-cents average: exact in any summation order, no
+        # rounding-boundary hash risk (see q_esql_inlinestats)
         "FROM orders | STATS n = count(*), custs = count(distinct o_custkey), "
-        "avg_price = round(avg(o_totalprice), 2), lo = round(min(o_totalprice), 2), "
-        "hi = round(max(o_totalprice), 2), "
+        "avg_cents = avg(ROUND(o_totalprice * 100)), lo = min(o_totalprice), "
+        "hi = max(o_totalprice), "
         "n_urgent = count(*) WHERE o_orderpriority == '1-URGENT' "
         "BY o_orderstatus | SORT o_orderstatus",
         tables=tables,
@@ -871,17 +873,23 @@ def q_esql_inlinestats(spark, sf_dir):
     """INLINESTATS: group aggregates appended to every row (no
     collapse). Spark plan: small per-group aggregate broadcast-joined
     back (eqNullSafe), never a shuffle of the event table; the oracle
-    states the same semantics as window functions."""
+    states the same semantics as window functions.
+
+    The averaged quantity is integral cents (ROUND(value*100)): sums of
+    integers < 2^53 are EXACT doubles in any summation order, so the
+    average is bit-identical across engines with no decimal rounding —
+    averaging the raw 2-dp values is dense in exact decimal halves and
+    ulp-straddles any rounding boundary (observed at sf0.1)."""
     tables = {"events": _t(spark, sf_dir, "events")}
-    df = run_esql(
+    return run_esql(
         spark,
         "FROM events | WHERE event_type == 'purchase' "
-        "| INLINESTATS avg_val = AVG(value), cnt = COUNT(*) BY user_id "
-        "| KEEP event_id, user_id, value, avg_val, cnt "
+        "| EVAL cents = ROUND(value * 100) "
+        "| INLINESTATS avg_cents = AVG(cents), cnt = COUNT(*) BY user_id "
+        "| KEEP event_id, user_id, cents, avg_cents, cnt "
         "| SORT event_id | LIMIT 500",
         tables=tables,
     )
-    return df.withColumn("avg_val", F.round("avg_val", 5))
 
 
 def q_esql_sample(spark, sf_dir):
@@ -893,6 +901,22 @@ def q_esql_sample(spark, sf_dir):
     return run_esql(
         spark,
         "FROM events | SAMPLE 0.2 7 | KEEP event_id, user_id | SORT event_id",
+        tables=tables,
+    )
+
+
+def q_esql_bucket(spark, sf_dir):
+    """Computed STATS BY keys + BUCKET histogram function (the ES|QL
+    date-histogram idiom): BY day = BUCKET(ts, 1 day), et = event_type."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    # integral-cents average: exact in any summation order (see
+    # q_esql_inlinestats), so no rounding-boundary hash risk
+    return run_esql(
+        spark,
+        "FROM events | EVAL cents = ROUND(value * 100) "
+        "| STATS cnt = COUNT(*), avg_cents = AVG(cents) "
+        "BY day = BUCKET(ts, 1 day), et = event_type "
+        "| SORT day, et",
         tables=tables,
     )
 
@@ -1092,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_sample": q_esql_sample,
         "esql_change_point": q_esql_change_point,
         "esql_fork": q_esql_fork,
+        "esql_bucket": q_esql_bucket,
         # -- certified green in r2, newer ops first --
         "esql_first_row": q_esql_first_row,
         "esql_rows_to_target": q_esql_rows_to_target,
@@ -1576,11 +1601,18 @@ def oracle_sql() -> dict[str, str]:
                      len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
               FROM documents
             )
+            -- explicit HALF_UP via floor(x*1e6 + 0.5)/1e6: DuckDB's
+            -- round() is HALF_EVEN on doubles and diverges from Spark
+            -- on exactly-representable halves (e.g. 333/640 at 6 dp)
             SELECT doc_id, n_words, n_stop AS n_stopwords,
-                   round(n_stop / n_words, 6) AS stopword_ratio,
-                   round(0.4 * round(n_stop / n_words, 6)
-                       + 0.3 * (1 - round(n_punct / greatest(n_chars, 1), 6))
-                       + 0.3 * least(1.0, n_words / 64.0), 6) AS quality_score
+                   floor((n_stop / n_words) * 1000000.0 + 0.5) / 1000000.0
+                     AS stopword_ratio,
+                   floor((0.4 * (floor((n_stop / n_words) * 1000000.0 + 0.5)
+                                 / 1000000.0)
+                       + 0.3 * (1 - floor((n_punct / greatest(n_chars, 1))
+                                          * 1000000.0 + 0.5) / 1000000.0)
+                       + 0.3 * least(1.0, n_words / 64.0)) * 1000000.0 + 0.5)
+                     / 1000000.0 AS quality_score
             FROM f
         """,
         "lang_id": f"SELECT doc_id, {lang_pred} AS lang_pred FROM documents",
@@ -1657,9 +1689,9 @@ def oracle_sql() -> dict[str, str]:
         "esql_stats_multi": """
             SELECT o_orderstatus, count(*) AS n,
                    count(DISTINCT o_custkey) AS custs,
-                   round(avg(o_totalprice), 2) AS avg_price,
-                   round(min(o_totalprice), 2) AS lo,
-                   round(max(o_totalprice), 2) AS hi,
+                   avg(round(o_totalprice * 100)) AS avg_cents,
+                   min(o_totalprice) AS lo,
+                   max(o_totalprice) AS hi,
                    count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
                      AS n_urgent
             FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
@@ -1743,6 +1775,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS _meta_total_values
             FROM events WHERE user_id = 1
         """,
+        "esql_bucket": """
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS day,
+                   event_type AS et, count(*) AS cnt,
+                   avg(round(value * 100)) AS avg_cents
+            FROM events GROUP BY 1, 2 ORDER BY day, et
+        """,
         "esql_change_point": """
             -- replicate the Welch-t cumulative scoring EXACTLY (same
             -- associativity, same 1e-300 floor, same 9-decimal argmax
@@ -1786,9 +1825,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "esql_inlinestats": """
             -- INLINESTATS == aggregates appended per row: stated as
-            -- window functions over the same filtered set
-            SELECT event_id, user_id, value,
-                   round(avg(value) OVER (PARTITION BY user_id), 5) AS avg_val,
+            -- window functions over the same filtered set. Integral
+            -- cents: integer sums are exact doubles in any order, so
+            -- the average needs no rounding to hash-match
+            SELECT event_id, user_id, round(value * 100) AS cents,
+                   avg(round(value * 100)) OVER (PARTITION BY user_id)
+                     AS avg_cents,
                    count(*) OVER (PARTITION BY user_id) AS cnt
             FROM events WHERE event_type = 'purchase'
             ORDER BY event_id LIMIT 500

@@ -39,11 +39,25 @@ def word_count_of(text: Column, word: str) -> Column:
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(rf"\b{word}\b"), 0))
 
 
+def _round_half_up(c: Column, digits: int) -> Column:
+    """Explicit HALF_UP rounding for non-negative values.
+
+    Engines disagree on double rounding mode (Spark round() is HALF_UP,
+    DuckDB's is HALF_EVEN), which diverges on EXACTLY-representable
+    halves — e.g. a stopword ratio of 333/640 = 0.5203125 rounds to
+    0.520313 vs 0.520312 at 6 dp. floor(x*10^d + 0.5)/10^d is the same
+    IEEE sequence in every engine, so oracles can replicate bit-for-bit.
+    """
+    scale = F.lit(float(10**digits))
+    return F.floor(c * scale + F.lit(0.5)) / scale
+
+
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """Length / punctuation / stopword-ratio features + composite score.
 
     score = 0.4*stopword_ratio + 0.3*(1-punct_ratio) + 0.3*min(1, words/64)
-    rounded to 6 dp so engine/oracle float paths agree.
+    rounded (explicit HALF_UP) to 6 dp so engine/oracle float paths
+    agree on every input, including exact-half boundaries.
     """
     text = F.col(text_col)
     n_chars = F.length(text)
@@ -51,10 +65,10 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     n_words = F.size(words)
     n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
     n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(STOPWORDS)))
-    mean_word_len = F.round((n_chars - (n_words - 1)) / n_words, 4)
-    stop_ratio = F.round(n_stop / n_words, 6)
-    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
-    score = F.round(
+    mean_word_len = _round_half_up((n_chars - (n_words - 1)) / n_words, 4)
+    stop_ratio = _round_half_up(n_stop / n_words, 6)
+    punct_ratio = _round_half_up(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    score = _round_half_up(
         0.4 * stop_ratio
         + 0.3 * (1 - punct_ratio)
         + 0.3 * F.least(F.lit(1.0), n_words / F.lit(64.0)),

@@ -181,7 +181,7 @@ _RENAME_FNS = {  # same arg order, different Spark name
 _CUSTOM_FNS = {
     "CASE", "MV_SUM", "MV_AVG", "MV_FIRST", "MV_LAST", "MV_SORT", "SPLIT",
     "DATE_DIFF", "DATE_EXTRACT", "COUNT_DISTINCT", "PERCENTILE",
-    "CIDR_MATCH", "TO_IP",
+    "CIDR_MATCH", "TO_IP", "BUCKET",
 }
 _IPV4_RE = r"^(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])){3}$"
 # ES|QL DATE_EXTRACT takes java.time ChronoField names; map the common
@@ -274,6 +274,37 @@ def _translate_call(fn: str, args: list[str]) -> str:
     if fn == "MV_LAST":
         arity(1)
         return f"try_element_at({args[0]}, -1)"
+    if fn == "BUCKET":
+        # BUCKET(field, span): fixed-span histogram key. Span forms:
+        # * '1 <unit>'  -> calendar date_trunc (minute..year)
+        # * 'N <unit>'  -> epoch-floor math, units up to days (a
+        #   multi-week/month span has no fixed length; ES|QL's auto
+        #   N-buckets form is likewise not supported here)
+        # * numeric     -> floor(field / w) * w
+        if len(args) != 2:
+            raise EsqlValidationError("BUCKET takes (field, span)")
+        span = args[1].strip()
+        m = re.match(
+            r"^(\d+)\s+(second|minute|hour|day|week|month|quarter|year)s?$",
+            span,
+            re.I,
+        )
+        if m:
+            n, unit = int(m.group(1)), m.group(2).lower()
+            if n == 1:
+                return f"date_trunc('{unit}', {args[0]})"
+            secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}.get(unit)
+            if secs is None:
+                raise EsqlValidationError(
+                    f"BUCKET: multi-{unit} spans have no fixed length; "
+                    "use a span of seconds..days or '1 {unit}'"
+                )
+            total = n * secs
+            return (
+                f"timestamp_seconds(CAST(floor(unix_timestamp({args[0]}) "
+                f"/ {total}) AS BIGINT) * {total})"
+            )
+        return f"(floor({args[0]} / ({span})) * ({span}))"
     if fn == "SPLIT":
         # ES|QL SPLIT's delimiter is literal; Spark split()'s is a regex
         # — \Q..\E-quote it so metacharacters in the delimiter are inert
@@ -559,13 +590,24 @@ def _stats_agg_expr(item: str):
     return F.expr(f"{agg} FILTER (WHERE {cond})")
 
 
-def _parse_stats_body(body: str) -> tuple[list, list[str]]:
+def _parse_stats_body(body: str) -> tuple[list, list[tuple[str, str | None]]]:
     """Shared STATS/INLINESTATS body parse: ``name = AGG(x) [WHERE c],
-    ... [BY g1, g2]`` -> (aliased agg Columns, group column names)."""
-    by_cols: list[str] = []
+    ... [BY g1, name2 = expr2]`` -> (aliased agg Columns, BY items).
+
+    Each BY item is (column_name, expr_or_None): ES|QL allows computed
+    group keys (``BY b = BUCKET(ts, 1 hour)``) alongside bare columns;
+    computed keys are materialized as columns before grouping so both
+    STATS (collapse) and INLINESTATS (join-back) group by name."""
+    by_items: list[tuple[str, str | None]] = []
     by_at = _find_top_keyword(body, "BY")
     if by_at >= 0:
-        by_cols = [c.strip() for c in _split_commas(body[by_at + 2 :])]
+        for item in _split_commas(body[by_at + 2 :]):
+            item = item.strip()
+            m = re.match(r"^([A-Za-z_]\w*)\s*=\s*(?!=)(.+)$", item, re.S)
+            if m:
+                by_items.append((m.group(1), m.group(2).strip()))
+            else:
+                by_items.append((item, None))
         body = body[:by_at].strip()
     aggs = []
     for item in _split_commas(body):
@@ -574,7 +616,17 @@ def _parse_stats_body(body: str) -> tuple[list, list[str]]:
             aggs.append(_stats_agg_expr(expr.strip()).alias(name.strip()))
         else:
             aggs.append(_stats_agg_expr(item))
-    return aggs, by_cols
+    return aggs, by_items
+
+
+def _materialize_by_items(
+    df: DataFrame, by_items: list[tuple[str, str | None]]
+) -> tuple[DataFrame, list[str]]:
+    """Computed BY keys become real columns; returns names to group by."""
+    for name, expr in by_items:
+        if expr is not None:
+            df = df.withColumn(name, F.expr(_translate_expr(expr)))
+    return df, [n for n, _ in by_items]
 
 
 def _resolve_from(
@@ -675,8 +727,12 @@ def _run_stages(
         if cmd == "WHERE":
             df = df.filter(F.expr(_translate_expr(body)))
         elif cmd == "STATS":
-            aggs, by_cols = _parse_stats_body(body)
-            df = df.groupBy(*by_cols).agg(*aggs) if by_cols else df.agg(*aggs)
+            aggs, by_items = _parse_stats_body(body)
+            if by_items:
+                df, by_cols = _materialize_by_items(df, by_items)
+                df = df.groupBy(*by_cols).agg(*aggs)
+            else:
+                df = df.agg(*aggs)
         elif cmd == "INLINESTATS":
             # like STATS, but the aggregates are APPENDED to every row
             # instead of collapsing the table. Compute the (small, one
@@ -685,8 +741,9 @@ def _run_stages(
             # the big table on the group key, and MEDIAN/PERCENTILE
             # aren't window-able anyway. eqNullSafe: a NULL group key is
             # its own group and its rows receive that group's values.
-            aggs, by_cols = _parse_stats_body(body)
-            if by_cols:
+            aggs, by_items = _parse_stats_body(body)
+            if by_items:
+                df, by_cols = _materialize_by_items(df, by_items)
                 grouped = df.groupBy(*by_cols).agg(*aggs)
                 agg_names = [c for c in grouped.columns if c not in by_cols]
                 joined = grouped.select(

@@ -701,3 +701,56 @@ def test_fork_branches_union_by_name(spark, esql_docs):
 
     with pytest.raises(EsqlValidationError, match="at least two"):
         run_esql(spark, "FROM my_index | FORK (WHERE type == 'a')", tables=esql_docs)
+
+
+def test_stats_by_expression_and_bucket(spark):
+    """Computed BY keys (BY name = expr) and the BUCKET histogram
+    function: calendar '1 <unit>' spans, epoch-floor 'N <unit>' spans,
+    and numeric widths."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, h, m), float(i))
+        for i, (h, m) in enumerate(
+            [(0, 5), (0, 40), (1, 10), (3, 59), (4, 0), (4, 30)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "id int, ts timestamp, v double")
+
+    out = run_esql(
+        spark,
+        "FROM t | STATS cnt = COUNT(*) BY h = BUCKET(ts, 1 hour) | SORT h",
+        tables={"t": df},
+    ).collect()
+    assert [(r["h"].hour, r["cnt"]) for r in out] == [(0, 2), (1, 1), (3, 1), (4, 2)]
+
+    out = run_esql(
+        spark,
+        "FROM t | STATS cnt = COUNT(*) BY b = BUCKET(ts, 2 hours) | SORT b",
+        tables={"t": df},
+    ).collect()
+    assert [(r["b"].hour, r["cnt"]) for r in out] == [(0, 3), (2, 1), (4, 2)]
+
+    out = run_esql(
+        spark,
+        "FROM t | STATS cnt = COUNT(*) BY w = BUCKET(v, 2.0) | SORT w",
+        tables={"t": df},
+    ).collect()
+    assert [(r["w"], r["cnt"]) for r in out] == [(0.0, 2), (2.0, 2), (4.0, 2)]
+
+    # computed key works in INLINESTATS too (appended, not collapsed)
+    out = run_esql(
+        spark,
+        "FROM t | INLINESTATS cnt = COUNT(*) BY h = BUCKET(ts, 1 hour) | SORT id",
+        tables={"t": df},
+    ).collect()
+    assert len(out) == 6 and [r["cnt"] for r in out] == [2, 2, 1, 1, 2, 2]
+
+    with pytest.raises(EsqlValidationError, match="BUCKET"):
+        run_esql(spark, "FROM t | STATS c = COUNT(*) BY b = BUCKET(ts)", tables={"t": df})
+    with pytest.raises(EsqlValidationError, match="span"):
+        run_esql(
+            spark,
+            "FROM t | STATS c = COUNT(*) BY b = BUCKET(ts, 3 months)",
+            tables={"t": df},
+        )
