@@ -93,6 +93,16 @@ AGGS = [
     ("mn", "MIN(n)", "CAST(min(n) AS BIGINT) AS mn"),
 ]
 
+# window-form pairs for INLINESTATS: integer aggregates only — integer
+# sums are exact in any order, while float window sums can ulp-diverge
+# from the broadcast-join-back computation
+INLINE_AGGS = [
+    ("s", "SUM(n)", "CAST(sum(n) OVER ({win}) AS BIGINT)"),
+    ("c", "COUNT(*)", "count(*) OVER ({win})"),
+    ("mx", "MAX(n)", "CAST(max(n) OVER ({win}) AS BIGINT)"),
+    ("mn", "MIN(n)", "CAST(min(n) OVER ({win}) AS BIGINT)"),
+]
+
 ROW_SORT_COLS = ["n", "val", "id"]
 
 
@@ -101,7 +111,7 @@ def pipeline_pairs(draw):
     """One random pipeline as (esql_statement, duckdb_sql, ordered)."""
     where = draw(st.one_of(st.none(), st.sampled_from(WHERES)))
     ev = draw(st.one_of(st.none(), st.sampled_from(EVALS)))
-    mode = draw(st.sampled_from(["stats", "rows"]))
+    mode = draw(st.sampled_from(["stats", "rows", "inline"]))
 
     esql = ["FROM t"]
     if where:
@@ -112,27 +122,61 @@ def pipeline_pairs(draw):
     base_cols = "id, n, val, grp, txt" + (f", {ev[1]}" if ev else "")
     inner = f"SELECT {base_cols} FROM t {where_sql}"
 
+    if mode == "inline":
+        aggs = draw(
+            st.lists(st.sampled_from(INLINE_AGGS), min_size=1, max_size=2, unique=True)
+        )
+        by = draw(st.booleans())
+        win = "PARTITION BY grp" if by else ""
+        esql_aggs = ", ".join(f"{a[0]} = {a[1]}" for a in aggs)
+        sql_aggs = ", ".join(
+            f"{a[2].format(win=win)} AS {a[0]}" for a in aggs
+        )
+        esql.append(f"INLINESTATS {esql_aggs}" + (" BY grp" if by else ""))
+        # SQL PARTITION BY groups NULLs together, same as the engine's
+        # eqNullSafe join-back
+        sql = f"SELECT *, {sql_aggs} FROM ({inner})"
+        ordered = draw(st.booleans())
+        if ordered:
+            esql.append("SORT id")
+            sql = f"SELECT * FROM ({sql}) ORDER BY id"
+            limit = draw(st.one_of(st.none(), st.integers(1, 10)))
+            if limit:
+                esql.append(f"LIMIT {limit}")
+                sql += f" LIMIT {limit}"
+        return " | ".join(esql), sql, ordered
+
     if mode == "stats":
         aggs = draw(
             st.lists(st.sampled_from(AGGS), min_size=1, max_size=3, unique=True)
         )
-        by = draw(st.booleans())
+        by = draw(st.sampled_from([None, "grp", "bucket"]))
         esql_aggs = ", ".join(f"{a[0]} = {a[1]}" for a in aggs)
         sql_aggs = ", ".join(a[2] for a in aggs)
-        if by:
+        if by == "grp":
             esql.append(f"STATS {esql_aggs} BY grp")
             sql = f"SELECT grp, {sql_aggs} FROM ({inner}) GROUP BY grp"
+            sort_col = "grp"
+        elif by == "bucket":
+            # computed group key through the same BUCKET compilation
+            esql.append(f"STATS {esql_aggs} BY b = BUCKET(n, 10)")
+            sql = (
+                f"SELECT floor(n / (10)) * (10) AS b, {sql_aggs} "
+                f"FROM ({inner}) GROUP BY 1"
+            )
+            sort_col = "b"
         else:
             esql.append(f"STATS {esql_aggs}")
             sql = f"SELECT {sql_aggs} FROM ({inner})"
-        ordered = by and draw(st.booleans())
+            sort_col = None
+        ordered = sort_col is not None and draw(st.booleans())
         if ordered:
             desc = draw(st.booleans())
             dir_esql = "DESC" if desc else ""
             # ES|QL default null placement, spelled out for DuckDB
             dir_sql = "DESC NULLS FIRST" if desc else "ASC NULLS LAST"
-            esql.append(f"SORT grp {dir_esql}")
-            sql = f"SELECT * FROM ({sql}) ORDER BY grp {dir_sql}"
+            esql.append(f"SORT {sort_col} {dir_esql}")
+            sql = f"SELECT * FROM ({sql}) ORDER BY {sort_col} {dir_sql}"
             limit = draw(st.one_of(st.none(), st.integers(1, 4)))
             if limit:
                 esql.append(f"LIMIT {limit}")
@@ -171,6 +215,10 @@ def _norm(v):
         f = float(v)
         if math.isnan(f):
             return "NaN"
+        # integral floats -> int: BUCKET keys come back BIGINT from
+        # Spark's floor but DOUBLE from DuckDB's
+        if f.is_integer():
+            return int(f)
         return round(f, 6)
     if isinstance(v, (np.integer, int)):
         return int(v)
