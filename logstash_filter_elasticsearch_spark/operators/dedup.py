@@ -22,7 +22,7 @@ so results are reproducible across runs and cluster sizes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -146,11 +146,29 @@ def ngram_jaccard_pairs(
             "_id", F.xxhash64("_shs").alias("_sh")
         )
         sh = _drop_heavy_keys(sh, ["_sh"], df_cap)
-        # post-filter set size: one extra shuffle (on _id), paid only
-        # when the guard is active — the price of keeping "exact
-        # Jaccard" true under the reduced universe
-        sh = sh.withColumn(
-            "_sz", F.count(F.lit(1)).over(Window.partitionBy("_id"))
+        # post-filter set size as a per-doc aggregate (NOT a window:
+        # count-over-window shuffles every exploded row uncombined;
+        # groupBy map-side-combines down to one row per doc). Sizes
+        # join back onto the PAIR table — far smaller than the
+        # exploded shingle table — below.
+        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+        posting = sh.groupBy("_sh").agg(
+            F.collect_list("_id").alias("_ds")
+        ).filter(F.size("_ds") > 1)
+        pairs = (
+            posting.select(F.explode("_ds").alias("_ida"), "_ds")
+            .select("_ida", F.explode("_ds").alias("_idb"))
+            .filter(F.col("_ida") < F.col("_idb"))
+        )
+        common = pairs.groupBy(
+            F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b")
+        ).agg(F.count(F.lit(1)).alias("_common"))
+        common = common.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a")),
+            "id_a",
+        ).join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b")),
+            "id_b",
         )
     else:
         # guard off: size rides along from F.size() — no extra shuffle
@@ -159,20 +177,20 @@ def ngram_jaccard_pairs(
             .select("_id", "_sz", F.explode("_sh").alias("_shs"))
             .select("_id", "_sz", F.xxhash64("_shs").alias("_sh"))
         )
-    posting = sh.groupBy("_sh").agg(
-        F.collect_list(F.struct("_id", "_sz")).alias("_ds")
-    ).filter(F.size("_ds") > 1)
-    pairs = (
-        posting.select(F.explode("_ds").alias("_a"), "_ds")
-        .select("_a", F.explode("_ds").alias("_b"))
-        .filter(F.col("_a._id") < F.col("_b._id"))
-    )
-    common = pairs.groupBy(
-        F.col("_a._id").alias("id_a"),
-        F.col("_b._id").alias("id_b"),
-        F.col("_a._sz").alias("sz_a"),
-        F.col("_b._sz").alias("sz_b"),
-    ).agg(F.count(F.lit(1)).alias("_common"))
+        posting = sh.groupBy("_sh").agg(
+            F.collect_list(F.struct("_id", "_sz")).alias("_ds")
+        ).filter(F.size("_ds") > 1)
+        pairs = (
+            posting.select(F.explode("_ds").alias("_a"), "_ds")
+            .select("_a", F.explode("_ds").alias("_b"))
+            .filter(F.col("_a._id") < F.col("_b._id"))
+        )
+        common = pairs.groupBy(
+            F.col("_a._id").alias("id_a"),
+            F.col("_b._id").alias("id_b"),
+            F.col("_a._sz").alias("sz_a"),
+            F.col("_b._sz").alias("sz_b"),
+        ).agg(F.count(F.lit(1)).alias("_common"))
     jac = F.col("_common") / (F.col("sz_a") + F.col("sz_b") - F.col("_common"))
     return (
         common.withColumn("jaccard", jac)
