@@ -63,11 +63,20 @@ def parse_doc_ids(df: DataFrame, doc_id_col: str = "doc_id") -> DataFrame:
         df.withColumn("_p", parts)
         .withColumn("route_source", F.element_at("_p", 1))
         .withColumn("shard", F.element_at("_p", 2))
+        # seq is \d{12} (always fits a long); epoch is \d+ UNBOUNDED —
+        # a 20+-digit epoch passes the regex but overflows long, and an
+        # ANSI cast would abort the whole job on one such row. try_cast
+        # nulls it and the row goes to quarantine like any parse failure.
         .withColumn("seq", F.element_at("_p", 3).cast("long"))
-        .withColumn("epoch", F.element_at("_p", 4).cast("long"))
+        .withColumn(
+            "epoch", F.element_at("_p", 4).try_cast("long")
+        )
         .drop("_p")
     )
-    out = out.withColumn("parse_ok", F.col("route_source").isNotNull())
+    out = out.withColumn(
+        "parse_ok",
+        F.col("route_source").isNotNull() & F.col("epoch").isNotNull(),
+    )
     out = out.withColumn(
         "join_key",
         F.when(F.col("parse_ok"), F.concat_ws("/", "route_source", "shard")),

@@ -359,3 +359,26 @@ def test_snapshot_publish_mode(spark, seq_data, tmp_path_factory):
                 publish_mode="nope",
             ),
         )
+
+
+def test_epoch_overflow_quarantined_not_job_abort(spark):
+    """A doc_id whose epoch has more digits than a long can hold passes
+    the grammar regex but must be QUARANTINED, not abort the job with
+    an ANSI cast overflow."""
+    from logstash_filter_elasticsearch_spark.operators.parse import parse_doc_ids
+
+    df = spark.createDataFrame(
+        [
+            ("web/2024/202401010000-17",),
+            ("web/2024/202401010000-99999999999999999999999999",),
+            ("junk",),
+        ],
+        "doc_id string",
+    )
+    rows = {r["doc_id"]: r for r in parse_doc_ids(df, "doc_id").collect()}
+    ok = rows["web/2024/202401010000-17"]
+    assert ok["parse_ok"] and ok["epoch"] == 17
+    over = rows["web/2024/202401010000-99999999999999999999999999"]
+    assert not over["parse_ok"] and over["epoch"] is None
+    assert "_grokparsefailure" in over["tags"]
+    assert not rows["junk"]["parse_ok"]
