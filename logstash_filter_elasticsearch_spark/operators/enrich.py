@@ -202,7 +202,9 @@ class Enricher:
                 # the truncated timestamp, ascending — ES emits epoch
                 # millis + key_as_string; the truncated timestamp is the
                 # typed equivalent of both
-                key_col = F.date_trunc(param, val.cast("timestamp"))
+                # try_cast: a malformed timestamp string buckets under
+                # NULL instead of aborting the job under ANSI mode
+                key_col = F.date_trunc(param, val.try_cast("timestamp"))
             else:
                 key_col = val
             counts = lookup.groupBy(

@@ -543,14 +543,18 @@ def enrich_with_template(
         lookup_key = "_tkey"
     elif len(join_pairs) == 1:
         val, fname = join_pairs[0]
-        event_key = val.expr().cast(lk_types[fname])
+        # try_cast: an event value that can't coerce to the lookup key
+        # type simply doesn't match (NULL key falls out of the join) —
+        # an ANSI cast would abort the whole job on one bad event,
+        # where the reference tags that one event and moves on
+        event_key = val.expr().try_cast(lk_types[fname])
         lookup_key = fname
     else:
         filtered = filtered.withColumn(
             "_tkey", F.struct(*[F.col(f).alias(f"k{i}") for i, (_, f) in enumerate(join_pairs)])
         )
         event_key = F.struct(
-            *[v.expr().cast(lk_types[f]).alias(f"k{i}") for i, (v, f) in enumerate(join_pairs)]
+            *[v.expr().try_cast(lk_types[f]).alias(f"k{i}") for i, (v, f) in enumerate(join_pairs)]
         )
         lookup_key = "_tkey"
 

@@ -351,3 +351,27 @@ def test_bool_should_is_non_filtering_with_must():
         ]}}})
     )
     assert isinstance(t2.root, Bool) and t2.root.op == "or"
+
+
+def test_uncoercible_event_key_no_match_not_abort(spark):
+    """An event value that can't coerce to the lookup key type must
+    simply not match (ANSI cast would abort the job on one bad event;
+    the reference tags that event and moves on)."""
+    import json
+
+    events = spark.createDataFrame(
+        [("e1", "42"), ("e2", "not-a-number")], "event_id string, opid string"
+    )
+    lookup = spark.createDataFrame(
+        [(42, "answer")], "op bigint, label string"
+    )
+    template = json.dumps(
+        {"query": {"term": {"op": "%{[opid]}"}}, "size": 1}
+    )
+    out = enrich_with_template(
+        events, lookup, template, fields={"label": "label"}
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert rows["e1"]["label"] == ["answer"]
+    assert rows["e2"]["label"] is None  # no match, row intact
+    assert rows["e2"]["matched"] is False
