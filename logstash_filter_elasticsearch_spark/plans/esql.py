@@ -237,8 +237,11 @@ def _translate_call(fn: str, args: list[str]) -> str:
             raise EsqlValidationError(f"{fn} takes {n} argument(s)")
 
     if fn in _CAST_FNS:
+        # try_cast: ES|QL TO_* conversions yield NULL (with a warning)
+        # on unconvertible input — ANSI cast would abort the query on
+        # one bad value
         arity(1)
-        return f"cast({args[0]} as {_CAST_FNS[fn]})"
+        return f"try_cast({args[0]} as {_CAST_FNS[fn]})"
     if fn in _SWAP2_FNS:
         if fn == "DATE_FORMAT" and len(args) == 1:
             # 1-arg form uses the dialect's default pattern
@@ -1071,7 +1074,10 @@ def _apply_grok(df: DataFrame, body: str) -> DataFrame:
         if typ:
             if typ not in _GROK_TYPES:
                 raise EsqlValidationError(f"unsupported grok type :{typ}")
-            col = col.cast(_GROK_TYPES[typ])
+            # try_cast: the INT pattern admits more digits than the
+            # target type holds — overflow nulls the field instead of
+            # aborting the job under ANSI
+            col = col.try_cast(_GROK_TYPES[typ])
         df = df.withColumn(name, col)
     return df
 

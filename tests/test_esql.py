@@ -754,3 +754,31 @@ def test_stats_by_expression_and_bucket(spark):
             "FROM t | STATS c = COUNT(*) BY b = BUCKET(ts, 3 months)",
             tables={"t": df},
         )
+
+
+def test_to_conversions_null_on_bad_input(spark):
+    """ES|QL TO_* conversions yield NULL on unconvertible input (the
+    reference's ES|QL runtime warns and nulls; ANSI cast would abort)."""
+    df = spark.createDataFrame(
+        [("12", "2024-01-02 03:04:05"), ("nope", "not-a-date")],
+        "s string, d string",
+    )
+    rows = run_esql(
+        spark,
+        "FROM t | EVAL i = TO_INTEGER(s), ts = TO_DATETIME(d) | SORT s",
+        tables={"t": df},
+    ).collect()
+    assert rows[0]["i"] == 12 and rows[0]["ts"] is not None
+    assert rows[1]["i"] is None and rows[1]["ts"] is None
+
+    # grok overflow: INT pattern admits more digits than int holds
+    df2 = spark.createDataFrame(
+        [("x 5",), ("x 99999999999999999999",)], "line string"
+    )
+    rows = run_esql(
+        spark,
+        'FROM t | GROK line "%{WORD:w} %{INT:v:int}" | SORT line',
+        tables={"t": df2},
+    ).collect()
+    vals = sorted((r["v"] is None) for r in rows)
+    assert vals == [False, True]
