@@ -390,9 +390,15 @@ def _translate_call(fn: str, args: list[str]) -> str:
         arity(1)
         return f"count(distinct {args[0]})"
     if fn == "PERCENTILE":
-        # ES|QL percent is 0-100; Spark percentile() takes a 0-1 fraction
+        # ES|QL percent is 0-100; Spark percentile() takes a 0-1 fraction.
+        # A literal percent folds HERE (percentile requires a foldable
+        # fraction, and the div/mod rewrite would turn a SQL division
+        # into non-foldable try_divide).
         arity(2)
-        return f"percentile({args[0]}, ({args[1]}) / 100)"
+        try:
+            return f"percentile({args[0]}, {float(args[1]) / 100.0!r})"
+        except ValueError:
+            return f"percentile({args[0]}, ({args[1]}) / 100)"
     if fn == "DATE_DIFF":
         # DATE_DIFF('unit', start, end): difference in COMPLETE units
         # (truncating), matching Spark's timestampdiff; the unit must be
@@ -587,10 +593,183 @@ def _stats_agg_expr(item: str):
     second scan; Spark and DuckDB share the clause)."""
     where_at = _find_top_keyword(item, "WHERE")
     if where_at < 0:
-        return F.expr(_translate_expr(item))
-    agg = _translate_expr(item[:where_at].strip())
-    cond = _translate_expr(item[where_at + 5 :].strip())
+        return _compile_expr(item)
+    agg = _rewrite_div_mod(_translate_expr(item[:where_at].strip()))
+    cond = _rewrite_div_mod(_translate_expr(item[where_at + 5 :].strip()))
     return F.expr(f"{agg} FILTER (WHERE {cond})")
+
+
+_WORD_BOUNDARY_OPS = {
+    "AND", "OR", "NOT", "IN", "LIKE", "RLIKE", "IS", "BETWEEN",
+    # SQL keyword islands that interrupt arithmetic chains — without
+    # them `CASE WHEN n % 2 = 0 ...` would fold into try_mod(CASE WHEN n, 2)
+    "CASE", "WHEN", "THEN", "ELSE", "END", "DISTINCT", "AS",
+}
+
+
+def _rewrite_div_mod(s: str) -> str:
+    """Post-translation pass: infix ``a / b`` -> ``try_divide(a, b)``
+    and ``a % b`` -> ``try_mod(a, b)`` at every nesting level.
+
+    ES|QL (and the DuckDB oracles) return NULL for division by zero;
+    Spark's ANSI mode aborts the whole query on one zero divisor.
+    There is no per-expression ANSI toggle, so the operators are
+    rewritten to their try_* forms. Parenthesized groups (function
+    calls included) are rewritten recursively and then treated as
+    opaque atoms; quoted strings are never touched. Precedence is
+    honored by splitting at comparison/boolean boundaries first, then
+    binary +/- (unary signs and scientific-notation exponents
+    excluded), then rebuilding each multiplicative chain
+    left-associatively.
+    """
+
+    # -- recurse into paren groups, making them opaque ----------------
+    out: list[str] = []
+    i, n = 0, len(s)
+    q = _QuoteState()
+    while i < n:
+        ch = s[i]
+        if q.in_quote or ch in ("'", '"'):
+            out.append(ch)
+            q.feed(ch)
+            i += 1
+            continue
+        if ch == "(":
+            j, d = i + 1, 1
+            q2 = _QuoteState()
+            while j < n and d:
+                c2 = s[j]
+                if not q2.in_quote and c2 == "(":
+                    d += 1
+                elif not q2.in_quote and c2 == ")":
+                    d -= 1
+                    if not d:
+                        break
+                q2.feed(c2)
+                j += 1
+            inner = s[i + 1 : j]
+            parts = _split_commas(inner)
+            out.append("(" + ", ".join(_rewrite_div_mod(p) for p in parts) + ")")
+            i = j + 1
+            continue
+        out.append(ch)
+        q.feed(ch)
+        i += 1
+    flat = "".join(out)
+
+    # -- tokenize depth-0 text into atoms and binary operators --------
+    # boundaries of lower precedence than * / % pass through verbatim;
+    # only the multiplicative chains between them are rebuilt.
+    def is_binary_sign(prev: str) -> bool:
+        # binary iff it follows an operand; '1e-5' exponents excluded
+        p = prev.rstrip()
+        if not p:
+            return False
+        if re.search(r"[0-9][eE]$", p):
+            return False
+        return p[-1].isalnum() or p[-1] in (")", "_", ".", "'", '"', "*")
+
+    tokens: list[str] = []  # alternating operand, op, operand, ...
+    buf2: list[str] = []
+    q = _QuoteState()
+    i = 0
+    while i < len(flat):
+        ch = flat[i]
+        if q.in_quote or ch in ("'", '"'):
+            buf2.append(ch)
+            q.feed(ch)
+            i += 1
+            continue
+        if ch == "(":  # opaque group: copy through to its close
+            d = 1
+            buf2.append(ch)
+            i += 1
+            q2 = _QuoteState()
+            while i < len(flat) and d:
+                c2 = flat[i]
+                if not q2.in_quote and c2 == "(":
+                    d += 1
+                elif not q2.in_quote and c2 == ")":
+                    d -= 1
+                q2.feed(c2)
+                buf2.append(c2)
+                i += 1
+            continue
+        if ch == "-" and i + 1 < len(flat) and flat[i + 1] == ">":
+            # lambda arrow (acc, v) -> ... : atomic, never binary minus
+            buf2.append("->")
+            i += 2
+            continue
+        if ch in "*/%" or (ch in "+-" and is_binary_sign("".join(buf2))):
+            tokens.append("".join(buf2))
+            tokens.append(ch)
+            buf2 = []
+            i += 1
+            continue
+        prev_c = flat[i - 1] if i else ""
+        at_word_start = not (prev_c.isalnum() or prev_c == "_")
+        m = re.match(r"[A-Za-z_]\w*", flat[i:]) if at_word_start else None
+        if m and m.group(0).upper() in _WORD_BOUNDARY_OPS:
+            # boolean/comparison keyword: everything before it is a
+            # finished chain; the keyword itself is a hard boundary
+            tokens.append("".join(buf2))
+            tokens.append("\x00" + m.group(0))  # \x00 marks passthrough
+            buf2 = []
+            i += len(m.group(0))
+            continue
+        if flat.startswith(("<=", ">=", "!=", "<>"), i):
+            tokens.append("".join(buf2))
+            tokens.append("\x00" + flat[i : i + 2])
+            buf2 = []
+            i += 2
+            continue
+        if ch in "<>=":
+            tokens.append("".join(buf2))
+            tokens.append("\x00" + ch)
+            buf2 = []
+            i += 1
+            continue
+        buf2.append(ch)
+        q.feed(ch)
+        i += 1
+    tokens.append("".join(buf2))
+
+    # -- rebuild honoring precedence: * / % bind tighter than + - -----
+    result: list[str] = []
+    add_parts: list[str] = []  # finished multiplicative chains + signs
+    mul_acc = tokens[0]
+
+    def flush_add() -> str:
+        add_parts.append(mul_acc.strip())
+        joined = " ".join(p for p in add_parts if p)
+        add_parts.clear()
+        return joined
+
+    k = 1
+    while k < len(tokens):
+        op, rhs = tokens[k], tokens[k + 1]
+        if op == "/":
+            mul_acc = f"try_divide({mul_acc.strip()}, {rhs.strip()})"
+        elif op == "%":
+            mul_acc = f"try_mod({mul_acc.strip()}, {rhs.strip()})"
+        elif op == "*":
+            mul_acc = f"{mul_acc.strip()} * {rhs.strip()}"
+        elif op in ("+", "-"):
+            add_parts.append(mul_acc.strip())
+            add_parts.append(op)
+            mul_acc = rhs
+        else:  # \x00-marked passthrough boundary (comparison/boolean)
+            result.append(flush_add())
+            result.append(op[1:])
+            mul_acc = rhs
+        k += 2
+    result.append(flush_add())
+    return " ".join(p.strip() for p in result if p.strip())
+
+
+def _compile_expr(s: str):
+    """ES|QL expression -> Spark Column (translate + div/mod rewrite)."""
+    return F.expr(_rewrite_div_mod(_translate_expr(s)))
 
 
 def _parse_stats_body(body: str) -> tuple[list, list[tuple[str, str | None]]]:
@@ -628,7 +807,7 @@ def _materialize_by_items(
     """Computed BY keys become real columns; returns names to group by."""
     for name, expr in by_items:
         if expr is not None:
-            df = df.withColumn(name, F.expr(_translate_expr(expr)))
+            df = df.withColumn(name, _compile_expr(expr))
     return df, [n for n, _ in by_items]
 
 
@@ -704,7 +883,7 @@ def run_esql(
             if "=" not in item:
                 raise EsqlValidationError("ROW items must be name = expr")
             name, expr = item.split("=", 1)
-            cols.append(F.expr(_translate_expr(expr.strip())).alias(name.strip()))
+            cols.append(_compile_expr(expr.strip()).alias(name.strip()))
         df = spark.range(1).select(*cols)
     else:
         raise EsqlValidationError("ES|QL statement must start with FROM or ROW")
@@ -728,7 +907,7 @@ def _run_stages(
         body = _substitute(body, params)
 
         if cmd == "WHERE":
-            df = df.filter(F.expr(_translate_expr(body)))
+            df = df.filter(_compile_expr(body))
         elif cmd == "STATS":
             aggs, by_items = _parse_stats_body(body)
             if by_items:
@@ -846,7 +1025,7 @@ def _run_stages(
         elif cmd == "EVAL":
             for item in _split_commas(body):
                 name, expr = item.split("=", 1)
-                df = df.withColumn(name.strip(), F.expr(_translate_expr(expr.strip())))
+                df = df.withColumn(name.strip(), _compile_expr(expr.strip()))
         elif cmd == "MV_EXPAND":
             # one row per element of a multivalued column; NULL/empty
             # keeps the row with a NULL value (explode_outer semantics)

@@ -782,3 +782,28 @@ def test_to_conversions_null_on_bad_input(spark):
     ).collect()
     vals = sorted((r["v"] is None) for r in rows)
     assert vals == [False, True]
+
+
+def test_division_by_zero_yields_null_not_abort(spark):
+    """ES|QL returns NULL (with a warning) for x/0 and x%0; under ANSI
+    Spark the raw operators abort the whole query, so the compiler
+    rewrites them to try_divide/try_mod with correct precedence."""
+    df = spark.createDataFrame(
+        [(10, 2), (7, 0), (9, 3)], "a int, b int"
+    )
+    rows = run_esql(
+        spark,
+        "FROM t | EVAL q = a / b, m = a % b, mixed = a + a / b * 2 | SORT a",
+        tables={"t": df},
+    ).collect()
+    bya = {r["a"]: r for r in rows}
+    assert bya[7]["q"] is None and bya[7]["m"] is None and bya[7]["mixed"] is None
+    assert bya[10]["q"] == 5.0 and bya[10]["m"] == 0
+    assert bya[10]["mixed"] == 20.0  # a + (a/b)*2, not (a + a)/(b*2)
+    assert bya[9]["q"] == 3.0 and bya[9]["m"] == 0
+
+    # WHERE with a zero divisor filters the row out instead of crashing
+    out = run_esql(
+        spark, "FROM t | WHERE a / b >= 3 | KEEP a", tables={"t": df}
+    ).collect()
+    assert sorted(r["a"] for r in out) == [9, 10]
