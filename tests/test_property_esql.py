@@ -83,6 +83,10 @@ EVALS = [
     # || propagates NULL like Spark concat (DuckDB concat() skips NULLs)
     ("e = CONCAT(grp, '_x')", "(grp || '_x') AS e"),
     ("e = TO_UPPER(txt)", "upper(txt) AS e"),
+    # zero divisors occur (n % 7 == 0 rows): both engines must null,
+    # exercising the try_divide/try_mod rewrite incl. precedence
+    ("e = n / (n % 7)", "n / (n % 7) AS e"),
+    ("e = n + n % (n % 5) * 2", "n + n % (n % 5) * 2 AS e"),
 ]
 
 AGGS = [
