@@ -51,6 +51,16 @@ class Manifest:
         self.flush()  # run history must survive even no-op resume runs
         return run_id
 
+    def finish_run(self, run_id: str) -> None:
+        """Mark a run completed. Snapshot-mode GC uses the absence of
+        ``finished_at`` to tell an in-flight concurrent run (protected
+        until a grace period expires) from a completed one whose
+        superseded dirs are reclaimable."""
+        for entry in self.data["runs"]:
+            if entry["run_id"] == run_id:
+                entry["finished_at"] = time.time()
+        self.flush()
+
     def commit_route(
         self,
         route: str,

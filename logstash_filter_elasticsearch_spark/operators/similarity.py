@@ -379,14 +379,20 @@ def cosine_near_dup_pairs(
     """
     import pandas as pd
 
-    src_cnt = df.count()
-    if src_cnt > max_rows:
+    # single pass: collect at most max_rows+1 rows — the guard triggers
+    # without ever materializing an oversized corpus on the driver, and
+    # without a separate count() job re-scanning the source
+    rows = (
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_rows:
         raise ValueError(
             f"cosine_near_dup_pairs is the exact small-scale baseline: "
-            f"corpus has {src_cnt} rows > max_rows={max_rows}; use "
-            f"lsh_near_dup_pairs at scale (or raise max_rows explicitly)"
+            f"corpus exceeds max_rows={max_rows}; use lsh_near_dup_pairs "
+            f"at scale (or raise max_rows explicitly)"
         )
-    rows = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v")).collect()
     ids = np.array([r["i"] for r in rows], dtype=np.int64)
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)

@@ -42,17 +42,47 @@ from logstash_filter_elasticsearch_spark.operators.parse import parse_doc_ids
 QUARANTINE_ROUTE = "_quarantine"
 
 
-def _gc_unreferenced_snapshots(fs, out_dir: str, manifest: Manifest) -> None:
-    """Delete snapshot run-dirs no committed route references — the
-    debris of crashed runs. Granularity is the run dir: a partially
-    committed crashed run keeps its dir (some routes point into it)
-    until later runs have re-committed every one of its routes."""
+def _gc_unreferenced_snapshots(
+    fs,
+    out_dir: str,
+    manifest: Manifest,
+    current_run_id: str,
+    grace_s: float,
+) -> None:
+    """Delete snapshot run-dirs no committed route references.
+
+    Concurrent-safe: a dir is only reclaimed when it is provably not an
+    in-flight run's staging area —
+    * the CURRENT run's own dir (it contributed no routes, we own it);
+    * a run recorded ``finished_at`` in the manifest (completed, every
+      route since superseded);
+    * a recorded run with no ``finished_at`` whose start is older than
+      ``grace_s`` (crashed mid-write; the age gate is the same orphan-
+      file discipline Iceberg's maintenance uses);
+    * a dir with NO run record at all (foreign debris — every
+      legitimate run begin_run-flushes before writing a byte).
+    A recent unfinished run keeps its dir: it may still be writing.
+    Granularity is the run dir: a partially committed crashed run keeps
+    its dir while any route still points into it."""
+    import time as _t2
+
     referenced = {e["run_id"] for e in manifest.data["routes"].values()}
+    runs_by_id = {e["run_id"]: e for e in manifest.data["runs"]}
     snaps = os.path.join(out_dir, "snapshots")
     if not fs.exists(snaps):
         return
+    now = _t2.time()
     for name in fs.list_names(snaps):
-        if name not in referenced:
+        if name in referenced:
+            continue
+        entry = runs_by_id.get(name)
+        reclaimable = (
+            name == current_run_id
+            or entry is None
+            or entry.get("finished_at") is not None
+            or now - entry.get("started_at", now) > grace_s
+        )
+        if reclaimable:
             fs.delete(os.path.join(snaps, name))
 
 
@@ -62,13 +92,31 @@ def committed_route_paths(out_dir: str, fs=None, spark=None) -> dict[str, str]:
     In snapshot publish mode this is the only correct way to find a
     sink (data dirs are per-run and immutable; the manifest pointer is
     the atomic truth — reading sinks/ or globbing snapshots/ would see
-    uncommitted or superseded data). Works uniformly for rename mode,
-    including manifests from before the path field existed."""
+    uncommitted or superseded data). Works uniformly for rename mode.
+
+    Manifests from before the path field existed are resolved by
+    LISTING sinks/ and unescaping each dir name — re-escaping the route
+    with urllib would not reproduce Spark's partition escaping (Spark
+    leaves spaces unescaped, escapes a different char set), but
+    unescaping Spark's own %XX output is exact.
+    """
     fs = fs or fs_for(out_dir, spark)
     manifest = Manifest(os.path.join(out_dir, "_MANIFEST.json"), fs=fs)
+    legacy_dirs: dict[str, str] | None = None
     out = {}
     for route, e in manifest.data["routes"].items():
-        rel = e.get("path") or "sinks/route=" + urllib.parse.quote(route, safe="")
+        rel = e.get("path")
+        if rel is None:
+            if legacy_dirs is None:
+                sinks = os.path.join(out_dir, "sinks")
+                legacy_dirs = {}
+                if fs.exists(sinks):
+                    for d in fs.list_names(sinks):
+                        if d.startswith("route="):
+                            legacy_dirs[urllib.parse.unquote(d[6:])] = d
+            if route not in legacy_dirs:
+                continue  # committed route whose sink dir is gone
+            rel = f"sinks/{legacy_dirs[route]}"
         out[route] = os.path.join(out_dir, rel)
     return out
 
@@ -95,6 +143,10 @@ class PipelineConfig:
     #                object-store-safe by construction; readers resolve
     #                sink paths through committed_route_paths().
     publish_mode: str = "rename"
+    # snapshot mode: how long an unreferenced, unfinished run dir is
+    # presumed in-flight (protected from GC) before being treated as
+    # crashed debris
+    snapshot_gc_grace_s: float = 86400.0
     # Fan-out write strategy:
     #   "direct"    — no shuffle; every scan task writes its slice of each
     #                 route it sees (sort-free via
@@ -298,8 +350,11 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
                 path=rel_path,
             )
     phase_t["publish_s"] = round(_time.monotonic() - t0, 3)
+    manifest.finish_run(run_id)
     if snapshot_mode:
-        _gc_unreferenced_snapshots(fs, cfg.out_dir, manifest)
+        _gc_unreferenced_snapshots(
+            fs, cfg.out_dir, manifest, run_id, cfg.snapshot_gc_grace_s
+        )
     else:
         fs.delete(staging)
 

@@ -253,18 +253,21 @@ def _translate_call(fn: str, args: list[str]) -> str:
     if fn in _RENAME_FNS:
         return f"{_RENAME_FNS[fn]}({', '.join(args)})"
     if fn == "CASE":
-        # variadic CASE(c1, v1[, c2, v2, ...][, default])
+        # variadic CASE(c1, v1[, c2, v2, ...][, default]) -> nested
+        # if(): identical semantics to a CASE WHEN chain, but the
+        # generated SQL carries no CASE/WHEN/END keywords — so the
+        # div/mod rewrite pass never has to guess whether `end` is a
+        # keyword or a column name
         if len(args) < 2:
             raise EsqlValidationError("CASE needs at least (condition, value)")
         if len(args) % 2:
             pairs, default = args[:-1], args[-1]
         else:
             pairs, default = args, "NULL"
-        whens = " ".join(
-            f"WHEN {pairs[i]} THEN {pairs[i + 1]}"
-            for i in range(0, len(pairs), 2)
-        )
-        return f"(CASE {whens} ELSE {default} END)"
+        acc = default
+        for i in range(len(pairs) - 2, -1, -2):
+            acc = f"if({pairs[i]}, {pairs[i + 1]}, {acc})"
+        return f"({acc})"
     if fn in ("MV_SUM", "MV_AVG"):
         arity(1)
         total = f"aggregate({args[0]}, cast(0 as double), (acc, v) -> acc + v)"
@@ -336,10 +339,7 @@ def _translate_call(fn: str, args: list[str]) -> str:
         # Spark has no inet type; model ES|QL's conversion semantics —
         # a string that isn't a valid IPv4 converts to NULL
         arity(1)
-        return (
-            f"(CASE WHEN {args[0]} rlike '{_IPV4_RE}' "
-            f"THEN {args[0]} ELSE NULL END)"
-        )
+        return f"if({args[0]} rlike '{_IPV4_RE}', {args[0]}, NULL)"
     if fn == "CIDR_MATCH":
         # CIDR_MATCH(ip, 'a.b.c.d/nn', ...): blocks must be literals
         # (they become masked-compare constants). The dotted quad is
@@ -601,10 +601,15 @@ def _stats_agg_expr(item: str):
 
 _WORD_BOUNDARY_OPS = {
     "AND", "OR", "NOT", "IN", "LIKE", "RLIKE", "IS", "BETWEEN",
-    # SQL keyword islands that interrupt arithmetic chains — without
-    # them `CASE WHEN n % 2 = 0 ...` would fold into try_mod(CASE WHEN n, 2)
-    "CASE", "WHEN", "THEN", "ELSE", "END", "DISTINCT", "AS",
+    "DISTINCT", "AS",
 }
+# CASE-island keywords interrupt arithmetic chains — without them
+# `CASE WHEN n % 2 = 0 ...` would fold into try_mod(CASE WHEN n, 2).
+# They are boundaries ONLY inside a CASE ... END block (tracked by
+# depth), so a COLUMN named `end` or `when` outside a CASE stays an
+# ordinary operand: `end / 1000` must become try_divide(end, 1000),
+# not a syntax error.
+_CASE_KEYWORDS = {"WHEN", "THEN", "ELSE", "END"}
 
 
 def _rewrite_div_mod(s: str) -> str:
@@ -673,6 +678,7 @@ def _rewrite_div_mod(s: str) -> str:
     buf2: list[str] = []
     q = _QuoteState()
     i = 0
+    case_depth = 0
     while i < len(flat):
         ch = flat[i]
         if q.in_quote or ch in ("'", '"'):
@@ -709,14 +715,23 @@ def _rewrite_div_mod(s: str) -> str:
         prev_c = flat[i - 1] if i else ""
         at_word_start = not (prev_c.isalnum() or prev_c == "_")
         m = re.match(r"[A-Za-z_]\w*", flat[i:]) if at_word_start else None
-        if m and m.group(0).upper() in _WORD_BOUNDARY_OPS:
-            # boolean/comparison keyword: everything before it is a
-            # finished chain; the keyword itself is a hard boundary
-            tokens.append("".join(buf2))
-            tokens.append("\x00" + m.group(0))  # \x00 marks passthrough
-            buf2 = []
-            i += len(m.group(0))
-            continue
+        if m:
+            word = m.group(0).upper()
+            if word == "CASE":
+                case_depth += 1
+            is_boundary = word in _WORD_BOUNDARY_OPS or word == "CASE" or (
+                case_depth > 0 and word in _CASE_KEYWORDS
+            )
+            if case_depth > 0 and word == "END":
+                case_depth -= 1
+            if is_boundary:
+                # keyword: everything before it is a finished chain;
+                # the keyword itself is a hard boundary
+                tokens.append("".join(buf2))
+                tokens.append("\x00" + m.group(0))  # \x00 = passthrough
+                buf2 = []
+                i += len(m.group(0))
+                continue
         if flat.startswith(("<=", ">=", "!=", "<>"), i):
             tokens.append("".join(buf2))
             tokens.append("\x00" + flat[i : i + 2])
@@ -917,12 +932,16 @@ def _run_stages(
                 df = df.agg(*aggs)
         elif cmd == "INLINESTATS":
             # like STATS, but the aggregates are APPENDED to every row
-            # instead of collapsing the table. Compute the (small, one
-            # row per group) aggregate table, then broadcast-join it
-            # back — a window formulation would force a full shuffle of
-            # the big table on the group key, and MEDIAN/PERCENTILE
-            # aren't window-able anyway. eqNullSafe: a NULL group key is
-            # its own group and its rows receive that group's values.
+            # instead of collapsing the table. Compute the one-row-per-
+            # group aggregate table and join it back — a window
+            # formulation would force a full shuffle of the big table
+            # on the group key, and MEDIAN/PERCENTILE aren't window-able
+            # anyway. The join carries NO broadcast hint: AQE broadcasts
+            # when the grouped side is actually small and falls back to
+            # a shuffle join for a near-unique group key (a forced hint
+            # would hard-fail at the broadcast size limit there).
+            # eqNullSafe: a NULL group key is its own group and its rows
+            # receive that group's values.
             aggs, by_items = _parse_stats_body(body)
             if by_items:
                 df, by_cols = _materialize_by_items(df, by_items)
@@ -937,7 +956,7 @@ def _run_stages(
                     cond = cond & F.col(c).eqNullSafe(F.col(f"_is_{c}"))
                 df = (
                     df.drop(*[c for c in agg_names if c in df.columns])
-                    .join(F.broadcast(joined), cond, "left")
+                    .join(joined, cond, "left")
                     .drop(*[f"_is_{c}" for c in by_cols])
                 )
             else:

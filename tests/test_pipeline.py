@@ -382,3 +382,65 @@ def test_epoch_overflow_quarantined_not_job_abort(spark):
     assert not over["parse_ok"] and over["epoch"] is None
     assert "_grokparsefailure" in over["tags"]
     assert not rows["junk"]["parse_ok"]
+
+
+def test_snapshot_gc_protects_inflight_runs(spark, seq_data, tmp_path_factory):
+    """A concurrent run's staging dir (recent run record, no
+    finished_at) must survive another run's GC; once its grace expires
+    it is reclaimed as crashed debris."""
+    import time as _t
+
+    out = str(tmp_path_factory.mktemp("pipe_gc"))
+    cfg = PipelineConfig(
+        sequences_path=seq_data["seq_dir"],
+        lookup_path=seq_data["lookup"],
+        out_dir=out,
+        publish_mode="snapshot",
+    )
+    run_pipeline(spark, cfg)
+
+    # simulate an in-flight concurrent run: run record without
+    # finished_at + its (still-writing) snapshot dir
+    mp = os.path.join(out, "_MANIFEST.json")
+    m = json.load(open(mp))
+    m["runs"].append({"run_id": "feedfeedfeed", "started_at": _t.time()})
+    json.dump(m, open(mp, "w"))
+    inflight = os.path.join(out, "snapshots", "feedfeedfeed")
+    os.makedirs(inflight)
+    open(os.path.join(inflight, "part-x"), "w").write("d")
+
+    run_pipeline(spark, cfg)
+    assert os.path.exists(inflight)  # protected within grace
+
+    cfg_fast = PipelineConfig(
+        sequences_path=seq_data["seq_dir"],
+        lookup_path=seq_data["lookup"],
+        out_dir=out,
+        publish_mode="snapshot",
+        snapshot_gc_grace_s=0.0,
+    )
+    run_pipeline(spark, cfg_fast)
+    assert not os.path.exists(inflight)  # grace expired -> crashed debris
+
+
+def test_committed_route_paths_legacy_manifest(tmp_path_factory):
+    """Pre-path manifests resolve by unescaping the ACTUAL sink dir
+    names — Spark leaves spaces unescaped, so re-escaping the route
+    with urllib would miss 'route=a b%3Ac'."""
+    from logstash_filter_elasticsearch_spark.pipeline import committed_route_paths
+
+    out = str(tmp_path_factory.mktemp("legacy_paths"))
+    sink = os.path.join(out, "sinks", "route=a b%3Ac")
+    os.makedirs(sink)
+    manifest = {
+        "version": 1,
+        "runs": [],
+        "routes": {
+            "a b:c": {"run_id": "r", "metrics": {}, "lineage": {}},  # no path
+            "gone": {"run_id": "r", "metrics": {}, "lineage": {}},
+        },
+    }
+    with open(os.path.join(out, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f)
+    paths = committed_route_paths(out)
+    assert paths == {"a b:c": sink}  # resolved; missing-dir route skipped
