@@ -541,11 +541,13 @@ def q_esql_stats_percentile(spark, sf_dir):
 
 
 def q_esql_like_in(spark, sf_dir):
-    """ES|QL WHERE with LIKE wildcard + IN membership."""
+    """ES|QL WHERE with LIKE wildcard + IN membership. ES|QL LIKE
+    wildcards are * and ? (not SQL %/_); the oracle states the same
+    predicate in SQL syntax."""
     tables = {"events": _t(spark, sf_dir, "events")}
     return run_esql(
         spark,
-        "FROM events | WHERE event_type LIKE 'p%' AND user_id IN (1, 2, 3) "
+        "FROM events | WHERE event_type LIKE 'p*' AND user_id IN (1, 2, 3) "
         "| KEEP event_id, user_id, event_type | SORT event_id",
         tables=tables,
     )

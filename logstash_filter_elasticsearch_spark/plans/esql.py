@@ -782,9 +782,68 @@ def _rewrite_div_mod(s: str) -> str:
     return " ".join(p.strip() for p in result if p.strip())
 
 
+def _like_pattern_to_sql(seg: str) -> str:
+    """One quoted ES|QL LIKE pattern (quotes included) -> SQL LIKE text.
+
+    ES|QL wildcards are ``*`` (any run) and ``?`` (one char) — NOT
+    SQL's ``%``/``_`` ('elasticsearch.rb' delegates to the server,
+    whose ES|QL defines this). Literal ``%``/``_`` in the pattern must
+    therefore MATCH LITERALLY, emitted as ``\\%``/``\\_`` in the SQL
+    text (one escape level is consumed by the string parser, the
+    second by LIKE). Source ``\\*``/``\\?`` escape a literal star/qmark.
+    """
+    quote = seg[0]
+    body = seg[1:-1]
+    out = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            if nxt in ("*", "?"):
+                out.append(nxt)  # escaped wildcard -> literal char
+            elif nxt == "\\":
+                out.append("\\\\\\\\")  # literal backslash
+            else:
+                out.append(c + nxt)  # other escapes pass through
+            i += 2
+            continue
+        if c == "*":
+            out.append("%")
+        elif c == "?":
+            out.append("_")
+        elif c in ("%", "_"):
+            out.append("\\\\" + c)
+        else:
+            out.append(c)
+        i += 1
+    return quote + "".join(out) + quote
+
+
+def _translate_like_patterns(s: str) -> str:
+    """Rewrite the string literal following each unquoted LIKE keyword
+    from ES|QL wildcard syntax to SQL LIKE syntax."""
+    segs = _quote_segments(s)
+    out = []
+    pending = False
+    for quoted, seg in segs:
+        if quoted and pending:
+            out.append(_like_pattern_to_sql(seg))
+            pending = False
+            continue
+        if not quoted:
+            if re.search(r"\bLIKE\s*$", seg, re.I):
+                pending = True
+            elif seg.strip():
+                pending = False
+        out.append(seg)
+    return "".join(out)
+
+
 def _compile_expr(s: str):
-    """ES|QL expression -> Spark Column (translate + div/mod rewrite)."""
-    return F.expr(_rewrite_div_mod(_translate_expr(s)))
+    """ES|QL expression -> Spark Column (LIKE-pattern + operator
+    translation + div/mod rewrite)."""
+    return F.expr(_rewrite_div_mod(_translate_expr(_translate_like_patterns(s))))
 
 
 def _parse_stats_body(body: str) -> tuple[list, list[tuple[str, str | None]]]:

@@ -807,3 +807,23 @@ def test_division_by_zero_yields_null_not_abort(spark):
         spark, "FROM t | WHERE a / b >= 3 | KEEP a", tables={"t": df}
     ).collect()
     assert sorted(r["a"] for r in out) == [9, 10]
+
+
+def test_like_uses_esql_wildcards(spark):
+    """ES|QL LIKE wildcards are * (any run) and ? (one char); a % or _
+    in the pattern matches LITERALLY, and \\* escapes a literal star."""
+    df = spark.createDataFrame(
+        [("dart",), ("dot",), ("d%",), ("d*",), ("dx",)], "s string"
+    )
+    def got(pat):
+        return sorted(
+            r["s"] for r in run_esql(
+                spark, f"FROM t | WHERE s LIKE '{pat}'", tables={"t": df}
+            ).collect()
+        )
+    assert got("d*") == ["d%", "d*", "dart", "dot", "dx"]
+    assert got("d?") == ["d%", "d*", "dx"]
+    assert got("d%") == ["d%"]        # literal percent
+    assert got(r"d\*") == ["d*"]      # escaped star -> literal star
+    assert got("d?t") == ["dot"]
+    assert got("d??t") == ["dart"]

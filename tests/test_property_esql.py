@@ -70,7 +70,8 @@ WHERES = [
     ("val > 10.0", "val > 10.0"),
     ("n % 3 == 0", "n % 3 = 0"),
     ("grp == 'a' OR n > 80", "grp = 'a' OR n > 80"),
-    ("txt LIKE 'd%'", "txt LIKE 'd%'"),
+    # ES|QL LIKE wildcard is *, SQL's is % — the pair encodes the dialect gap
+    ("txt LIKE 'd*'", "txt LIKE 'd%'"),
     ("NOT (n >= 40) AND val IS NOT NULL", "NOT (n >= 40) AND val IS NOT NULL"),
     ("n > 10 AND n < 90", "n > 10 AND n < 90"),
 ]
