@@ -10,6 +10,15 @@ and the engine/config fingerprint. A re-run with the same manifest
 skips committed sinks; a killed run resumes exactly where it stopped.
 Writes go to a staging directory and are published with an atomic
 rename, so readers never observe partial sinks.
+
+Writer model: ONE writer per out_dir at a time (the same assumption a
+Hive table makes without a lock service) — flush() rewrites the whole
+file, so two interleaved writers would clobber each other's route
+entries. Retries/resumes are sequential re-runs, which is the
+reference's own model (one pipeline instance owns its outputs).
+Snapshot-mode GC is nonetheless defensive about a concurrent STARTER:
+it re-reads the manifest from disk after listing, so a run that
+began after this run loaded its copy is never mistaken for debris.
 """
 
 from __future__ import annotations

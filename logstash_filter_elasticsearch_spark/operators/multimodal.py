@@ -233,21 +233,29 @@ def decode_mp4(payload: bytes) -> tuple[int, int, int]:
         for ityp, ics, ice in _iter_boxes(payload, cs, ce):
             if ityp == b"mvhd":
                 version = payload[ics]
+                off2 = ics + 4 + (16 if version == 1 else 8)
+                if off2 + (12 if version == 1 else 8) > ice:
+                    raise ValueError("MP4 mvhd box truncated")
                 if version == 1:
-                    scale, dur = struct.unpack_from(">IQ", payload, ics + 4 + 16)
+                    scale, dur = struct.unpack_from(">IQ", payload, off2)
                 else:
-                    scale, dur = struct.unpack_from(">II", payload, ics + 4 + 8)
+                    scale, dur = struct.unpack_from(">II", payload, off2)
                 if scale <= 0:
                     raise ValueError("MP4 mvhd timescale must be positive")
                 duration_ms = dur * 1000 // scale
             elif ityp == b"trak" and width is None:
-                for ttyp, tcs, _tce in _iter_boxes(payload, ics, ice):
+                for ttyp, tcs, tce in _iter_boxes(payload, ics, ice):
                     if ttyp != b"tkhd":
                         continue
                     version = payload[tcs]
                     # skip to matrix end: verflags + times/ids + reserved
                     # + layer/group/volume/reserved + matrix(36)
                     off = tcs + 4 + (32 if version == 1 else 20) + 8 + 8 + 36
+                    if off + 8 > tce:
+                        # a truncated tkhd must surface as the corrupt-
+                        # input error, not read adjacent boxes' bytes or
+                        # leak struct.error past decode_media's contract
+                        raise ValueError("MP4 tkhd box truncated")
                     w_fx, h_fx = struct.unpack_from(">II", payload, off)
                     width, height = w_fx >> 16, h_fx >> 16
                     break

@@ -63,16 +63,26 @@ def _gc_unreferenced_snapshots(
       legitimate run begin_run-flushes before writing a byte).
     A recent unfinished run keeps its dir: it may still be writing.
     Granularity is the run dir: a partially committed crashed run keeps
-    its dir while any route still points into it."""
+    its dir while any route still points into it.
+
+    Ordering against concurrent starters: the dir LISTING is taken
+    first and the manifest is then RE-READ from disk — a run creates
+    its dir only after its begin_run flush, so any dir in the listing
+    belongs to a run whose record is already on disk by the time the
+    fresh read happens. Classifying against this run's stale in-memory
+    copy would label a just-started concurrent run 'foreign debris'
+    and delete it mid-write."""
     import time as _t2
 
-    referenced = {e["run_id"] for e in manifest.data["routes"].values()}
-    runs_by_id = {e["run_id"]: e for e in manifest.data["runs"]}
     snaps = os.path.join(out_dir, "snapshots")
     if not fs.exists(snaps):
         return
+    names = list(fs.list_names(snaps))
+    fresh = Manifest(manifest.path, fs=fs)
+    referenced = {e["run_id"] for e in fresh.data["routes"].values()}
+    runs_by_id = {e["run_id"]: e for e in fresh.data["runs"]}
     now = _t2.time()
-    for name in fs.list_names(snaps):
+    for name in names:
         if name in referenced:
             continue
         entry = runs_by_id.get(name)

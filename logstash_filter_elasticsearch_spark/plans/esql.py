@@ -303,7 +303,7 @@ def _translate_call(fn: str, args: list[str]) -> str:
             if secs is None:
                 raise EsqlValidationError(
                     f"BUCKET: multi-{unit} spans have no fixed length; "
-                    "use a span of seconds..days or '1 {unit}'"
+                    f"use a span of seconds..days or '1 {unit}'"
                 )
             total = n * secs
             return (
@@ -594,8 +594,15 @@ def _stats_agg_expr(item: str):
     where_at = _find_top_keyword(item, "WHERE")
     if where_at < 0:
         return _compile_expr(item)
-    agg = _rewrite_div_mod(_translate_expr(item[:where_at].strip()))
-    cond = _rewrite_div_mod(_translate_expr(item[where_at + 5 :].strip()))
+    # same full translation stack as _compile_expr (LIKE patterns
+    # included) — a LIKE in a per-aggregate filter must behave exactly
+    # like a LIKE in a WHERE stage
+    agg = _rewrite_div_mod(
+        _translate_expr(_translate_like_patterns(item[:where_at].strip()))
+    )
+    cond = _rewrite_div_mod(
+        _translate_expr(_translate_like_patterns(item[where_at + 5 :].strip()))
+    )
     return F.expr(f"{agg} FILTER (WHERE {cond})")
 
 
@@ -717,10 +724,18 @@ def _rewrite_div_mod(s: str) -> str:
         m = re.match(r"[A-Za-z_]\w*", flat[i:]) if at_word_start else None
         if m:
             word = m.group(0).upper()
-            if word == "CASE":
+            # CASE opens a keyword island only when actually followed
+            # by WHEN — a column named `case` (e.g. `case / 2`) stays
+            # an ordinary operand and does not corrupt the depth
+            is_case_open = word == "CASE" and re.match(
+                r"\s+WHEN\b", flat[i + len(word) :], re.I
+            )
+            if is_case_open:
                 case_depth += 1
-            is_boundary = word in _WORD_BOUNDARY_OPS or word == "CASE" or (
-                case_depth > 0 and word in _CASE_KEYWORDS
+            is_boundary = bool(
+                word in _WORD_BOUNDARY_OPS
+                or is_case_open
+                or (case_depth > 0 and word in _CASE_KEYWORDS)
             )
             if case_depth > 0 and word == "END":
                 case_depth -= 1
@@ -1042,7 +1057,14 @@ def _run_stages(
                 raise EsqlValidationError(
                     f"SAMPLE probability must be in (0, 1), got {prob}"
                 )
-            seed = int(parts[1]) if len(parts) == 2 else None
+            seed = None
+            if len(parts) == 2:
+                try:
+                    seed = int(parts[1])
+                except ValueError:
+                    raise EsqlValidationError(
+                        f"SAMPLE seed must be an integer, got {parts[1]!r}"
+                    ) from None
             df = df.sample(fraction=prob, seed=seed)
         elif cmd == "SORT":
             # SORT col [ASC|DESC] [NULLS FIRST|NULLS LAST], ...
@@ -1213,6 +1235,7 @@ def _apply_fork(
     missing columns NULL (allowMissingColumns union), matching ES|QL's
     branch-merge behavior."""
     branches: list[str] = []
+    stray: list[str] = []  # depth-0 text outside the (branch) groups
     depth, start = 0, None
     q = _QuoteState()
     for i, ch in enumerate(body):
@@ -1230,8 +1253,16 @@ def _apply_fork(
                 branches.append(body[start:i])
             elif depth < 0:
                 raise EsqlValidationError("FORK: unbalanced parentheses")
+        elif depth == 0:
+            stray.append(ch)
     if depth != 0:
         raise EsqlValidationError("FORK: unbalanced parentheses")
+    stray_text = "".join(stray).strip()
+    if stray_text:
+        # silently dropping mis-nested text would run a different query
+        raise EsqlValidationError(
+            f"FORK: unexpected text outside (branch) groups: {stray_text!r}"
+        )
     if len(branches) < 2:
         raise EsqlValidationError("FORK needs at least two (branch) groups")
     outs = []

@@ -827,3 +827,42 @@ def test_like_uses_esql_wildcards(spark):
     assert got(r"d\*") == ["d*"]      # escaped star -> literal star
     assert got("d?t") == ["dot"]
     assert got("d??t") == ["dart"]
+
+
+def test_review_round3_fixes(spark):
+    """Round-3 self-review regressions: LIKE translation inside
+    per-aggregate filters, a column literally named `case`, SAMPLE seed
+    validation, FORK stray-text rejection."""
+    df = spark.createDataFrame(
+        [("error1", 1), ("error2", 2), ("ok*", 3)], "name string, n int"
+    )
+    # LIKE in a per-aggregate WHERE uses ES|QL wildcards like any WHERE
+    rows = run_esql(
+        spark,
+        "FROM t | STATS errs = COUNT(*) WHERE name LIKE 'err*', "
+        "lit_star = COUNT(*) WHERE name LIKE 'ok\\*'",
+        tables={"t": df},
+    ).collect()
+    assert (rows[0]["errs"], rows[0]["lit_star"]) == (2, 1)
+
+    # column named `case` survives the div rewrite
+    df2 = spark.createDataFrame([(10, 2)], "case int, n int")
+    r = run_esql(
+        spark, "FROM t | EVAL q = case / n | KEEP q", tables={"t": df2}
+    ).collect()
+    assert r[0]["q"] == 5.0
+
+    with pytest.raises(EsqlValidationError, match="seed"):
+        run_esql(spark, "FROM t | SAMPLE 0.5 abc", tables={"t": df})
+    with pytest.raises(EsqlValidationError, match="outside"):
+        run_esql(
+            spark,
+            "FROM t | FORK (WHERE n == 1) junk (WHERE n == 2)",
+            tables={"t": df},
+        )
+    with pytest.raises(EsqlValidationError, match="1 month"):
+        run_esql(
+            spark,
+            "FROM t | STATS c = COUNT(*) BY b = BUCKET(n, 3 months)",
+            tables={"t": df},
+        )

@@ -467,3 +467,32 @@ def test_connected_components_and_survivors(spark):
     assert out["y"] == ("x", False)
     # exactly one canonical per cluster
     assert sum(1 for c, canon in out.values() if canon) == 3
+
+
+def test_mp4_truncated_boxes_raise_value_error():
+    """Truncated mvhd/tkhd boxes surface as ValueError (the corrupt-
+    input contract), never struct.error or silent garbage dims."""
+    import pytest as _pytest
+
+    from logstash_filter_elasticsearch_spark.operators.multimodal import (
+        decode_mp4,
+        make_mp4,
+    )
+
+    good = make_mp4(320, 200, 1500, b"payload")
+    assert decode_mp4(good) == (320, 200, 1500)
+    # rebuild a moov whose tkhd claims 20 content bytes (box size 28)
+    import struct as _s
+
+    tkhd = _s.pack(">I", 28) + b"tkhd" + b"\x00" * 20
+    trak = _s.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    mvhd = good[32 : 32 + 108]  # the real mvhd box from the encoder
+    moov = _s.pack(">I", 8 + len(mvhd) + len(trak)) + b"moov" + mvhd + trak
+    ftyp = good[:24]
+    with _pytest.raises(ValueError, match="tkhd"):
+        decode_mp4(ftyp + moov)
+    # truncated mvhd: claims 20 content bytes
+    short_mvhd = _s.pack(">I", 28) + b"mvhd" + b"\x00" * 20
+    moov2 = _s.pack(">I", 8 + len(short_mvhd)) + b"moov" + short_mvhd
+    with _pytest.raises(ValueError, match="mvhd"):
+        decode_mp4(ftyp + moov2)
