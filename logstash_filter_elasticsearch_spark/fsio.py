@@ -45,6 +45,12 @@ class LocalFS:
     def rename(self, src: str, dst: str) -> None:
         os.replace(src, dst)
 
+    def mtime(self, path: str) -> float:
+        """Last-modification time (epoch seconds). For a directory this
+        moves whenever a direct child is created/renamed/removed — the
+        'recently active' signal the snapshot GC's grace window needs."""
+        return os.path.getmtime(path)
+
     def read_text(self, path: str) -> str:
         with open(path) as f:
             return f.read()
@@ -125,6 +131,12 @@ class HadoopFS:
             )
             return
         self._rename_via_park(src, dst)
+
+    def mtime(self, path: str) -> float:
+        return (
+            self._fs.getFileStatus(self._path(path)).getModificationTime()
+            / 1000.0
+        )
 
     def _rename_via_park(self, src: str, dst: str) -> None:
         """Two-step overwrite-rename for filesystems without

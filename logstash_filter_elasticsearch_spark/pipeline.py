@@ -86,12 +86,26 @@ def _gc_unreferenced_snapshots(
         if name in referenced:
             continue
         entry = runs_by_id.get(name)
-        reclaimable = (
-            name == current_run_id
-            or entry is None
-            or entry.get("finished_at") is not None
-            or now - entry.get("started_at", now) > grace_s
-        )
+        if entry is None:
+            # no run record: normally foreign debris (every legitimate
+            # run begin_run-flushes before writing a byte) — but an
+            # out-of-contract concurrent writer whose record was
+            # clobbered by another writer's whole-file manifest flush
+            # would look identical while still mid-write. Apply the
+            # same grace window, keyed on the dir's own mtime (it
+            # moves while files land in it); unreadable mtime counts
+            # as fresh, never as reclaimable.
+            try:
+                dir_age = now - fs.mtime(os.path.join(snaps, name))
+            except Exception:
+                dir_age = 0.0
+            reclaimable = dir_age > grace_s
+        else:
+            reclaimable = (
+                name == current_run_id
+                or entry.get("finished_at") is not None
+                or now - entry.get("started_at", now) > grace_s
+            )
         if reclaimable:
             fs.delete(os.path.join(snaps, name))
 

@@ -37,6 +37,50 @@ from logstash_filter_elasticsearch_spark.functions.fieldref import (
 _PLACEHOLDER_NAME = re.compile(r"^[a-z_][a-z0-9_]*$")
 _PLACEHOLDER = re.compile(r"\?([A-Za-z_][A-Za-z0-9_]*)")
 
+# ---- integer-division type probe ---------------------------------------
+# ES|QL integer/integer division TRUNCATES toward zero (7 / 2 = 3,
+# Java semantics); Spark's `/` (and try_divide) always widens to double.
+# The div rewrite is a string pass with no type information, so the
+# executor lends it the CURRENT stage DataFrame: each `/` operand is
+# type-resolved with a driver-side Catalyst analysis (no job), and when
+# BOTH sides are integral the emission becomes
+# ``cast(try_divide(l, r) as bigint)`` — truncation toward zero, NULL on
+# zero divisor, exactly ES|QL's result (widened to long). Operands whose
+# analysis fails (e.g. a forward reference) conservatively fall back to
+# the plain double-returning try_divide.
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_INT_LITERAL = re.compile(r"[+-]?\d+")
+_FLOAT_LITERAL = re.compile(r"[+-]?(?:\d*\.\d+|\d+\.)(?:[eE][+-]?\d+)?|[+-]?\d+[eE][+-]?\d+")
+_probe_df: DataFrame | None = None
+_probe_cache: dict[str, bool] = {}
+
+
+def _set_probe_df(df: DataFrame | None) -> None:
+    global _probe_df
+    if df is not _probe_df:
+        _probe_df = df
+        _probe_cache.clear()
+
+
+def _operand_is_integral(expr_s: str) -> bool:
+    s = expr_s.strip()
+    if _INT_LITERAL.fullmatch(s):
+        return True
+    if _FLOAT_LITERAL.fullmatch(s):
+        return False
+    if _probe_df is None:
+        return False
+    hit = _probe_cache.get(s)
+    if hit is not None:
+        return hit
+    try:
+        dt = _probe_df.select(F.expr(s).alias("__t")).schema[0].dataType
+        res = dt.simpleString() in _INTEGRAL_TYPES
+    except Exception:
+        res = False
+    _probe_cache[s] = res
+    return res
+
 
 class EsqlValidationError(ValueError):
     pass
@@ -290,6 +334,11 @@ def _translate_call(fn: str, args: list[str]) -> str:
         if len(args) != 2:
             raise EsqlValidationError("BUCKET takes (field, span)")
         span = args[1].strip()
+        if len(span) >= 2 and span[0] in "'\"" and span[-1] == span[0]:
+            # quoted span ("1 week") -> unquote and run the duration
+            # grammar; a quoted string must never reach the numeric
+            # path, where floor(field / 'str') silently NULLs every key
+            span = span[1:-1].strip()
         m = re.match(
             r"^(\d+)\s+(second|minute|hour|day|week|month|quarter|year)s?$",
             span,
@@ -306,11 +355,23 @@ def _translate_call(fn: str, args: list[str]) -> str:
                     f"use a span of seconds..days or '1 {unit}'"
                 )
             total = n * secs
+            # explicit try_divide: keeps FLOOR semantics (negative-safe)
+            # out of reach of the int/int truncating-division rewrite
             return (
-                f"timestamp_seconds(CAST(floor(unix_timestamp({args[0]}) "
-                f"/ {total}) AS BIGINT) * {total})"
+                f"timestamp_seconds(CAST(floor(try_divide(unix_timestamp("
+                f"{args[0]}), {total})) AS BIGINT) * {total})"
             )
-        return f"(floor({args[0]} / ({span})) * ({span}))"
+        # numeric span: literal only — an arbitrary expression would
+        # survive compilation but try_divide would NULL every bucket
+        # key at runtime (a silent full-table misgroup, not an error)
+        try:
+            float(span)
+        except ValueError:
+            raise EsqlValidationError(
+                f"BUCKET span must be a numeric literal or a duration "
+                f"like '1 hour' / '30 minutes', got {args[1].strip()!r}"
+            ) from None
+        return f"(floor(try_divide({args[0]}, ({span}))) * ({span}))"
     if fn == "SPLIT":
         # ES|QL SPLIT's delimiter is literal; Spark split()'s is a regex
         # — \Q..\E-quote it so metacharacters in the delimiter are inert
@@ -398,7 +459,13 @@ def _translate_call(fn: str, args: list[str]) -> str:
         try:
             return f"percentile({args[0]}, {float(args[1]) / 100.0!r})"
         except ValueError:
-            return f"percentile({args[0]}, ({args[1]}) / 100)"
+            # a non-literal percent would compile to try_divide(p, 100),
+            # which percentile() rejects at analysis with an obscure
+            # 'must be foldable' — fail here with the actual rule
+            raise EsqlValidationError(
+                f"PERCENTILE percent must be a numeric literal, "
+                f"got {args[1].strip()!r}"
+            ) from None
     if fn == "DATE_DIFF":
         # DATE_DIFF('unit', start, end): difference in COMPLETE units
         # (truncating), matching Spark's timestampdiff; the unit must be
@@ -779,7 +846,14 @@ def _rewrite_div_mod(s: str) -> str:
     while k < len(tokens):
         op, rhs = tokens[k], tokens[k + 1]
         if op == "/":
-            mul_acc = f"try_divide({mul_acc.strip()}, {rhs.strip()})"
+            lhs_s, rhs_s = mul_acc.strip(), rhs.strip()
+            if _operand_is_integral(lhs_s) and _operand_is_integral(rhs_s):
+                # ES|QL truncating integer division (see probe note at
+                # module top); chained int divisions stay integral
+                # because this cast itself probes integral next time
+                mul_acc = f"cast(try_divide({lhs_s}, {rhs_s}) as bigint)"
+            else:
+                mul_acc = f"try_divide({lhs_s}, {rhs_s})"
         elif op == "%":
             mul_acc = f"try_mod({mul_acc.strip()}, {rhs.strip()})"
         elif op == "*":
@@ -896,6 +970,7 @@ def _materialize_by_items(
     """Computed BY keys become real columns; returns names to group by."""
     for name, expr in by_items:
         if expr is not None:
+            _set_probe_df(df)
             df = df.withColumn(name, _compile_expr(expr))
     return df, [n for n, _ in by_items]
 
@@ -968,6 +1043,7 @@ def run_esql(
         # ROW a = expr, b = expr: a one-row literal source (the ES|QL
         # testing/constant entry point). Constant-folded by Catalyst.
         cols = []
+        _set_probe_df(None)  # ROW exprs are literal; int literals probe fast-path
         for item in _split_commas(_substitute(head[3:].strip(), params)):
             if "=" not in item:
                 raise EsqlValidationError("ROW items must be name = expr")
@@ -994,6 +1070,7 @@ def _run_stages(
         m = re.match(r"^([A-Za-z_]+)\s*(.*)$", stage, re.S)
         cmd, body = m.group(1).upper(), m.group(2).strip()
         body = _substitute(body, params)
+        _set_probe_df(df)  # integer-division typing against this stage's input
 
         if cmd == "WHERE":
             df = df.filter(_compile_expr(body))
@@ -1125,6 +1202,9 @@ def _run_stages(
         elif cmd == "EVAL":
             for item in _split_commas(body):
                 name, expr = item.split("=", 1)
+                # re-probe per assignment: `EVAL x = a/2, y = x/3` types
+                # y's division against the df that already carries x
+                _set_probe_df(df)
                 df = df.withColumn(name.strip(), _compile_expr(expr.strip()))
         elif cmd == "MV_EXPAND":
             # one row per element of a multivalued column; NULL/empty

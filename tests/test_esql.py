@@ -866,3 +866,59 @@ def test_review_round3_fixes(spark):
             "FROM t | STATS c = COUNT(*) BY b = BUCKET(n, 3 months)",
             tables={"t": df},
         )
+
+
+def test_integer_division_truncates(spark):
+    """ES|QL int/int division truncates toward zero (7/2=3, -7/2=-3) and
+    returns an integral type; any float operand keeps float division.
+    The emission is type-probed against the stage DataFrame, so chained
+    EVALs and STATS results type correctly too."""
+    df = spark.createDataFrame(
+        [(7, 2, 3.5), (-7, 2, 1.0), (9, 0, 2.0)], "a long, b long, f double"
+    )
+    out = run_esql(
+        spark,
+        "FROM t | EVAL d = a / b, dd = d / 2, fd = f / b, lit = 7 / 2, "
+        "neg = a / -2 | SORT a",
+        tables={"t": df},
+    )
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types["d"] == "bigint" and types["dd"] == "bigint"
+    assert types["fd"] == "double" and types["lit"] == "bigint"
+    rows = out.collect()
+    assert [r["d"] for r in rows] == [-3, 3, None]  # -7/2 truncates, 9/0 nulls
+    assert [r["neg"] for r in rows] == [3, -3, -4]  # 9/-2 = -4 (toward zero)
+    assert rows[1]["fd"] == 1.75 and rows[1]["lit"] == 3
+
+    # SUM/COUNT are integral, so their ratio is ES|QL integer division
+    r2 = run_esql(
+        spark, "FROM t | STATS s = SUM(a), c = COUNT(*) | EVAL r = s / c",
+        tables={"t": df},
+    ).collect()
+    assert r2[0]["r"] == 3  # 9 / 3
+
+
+def test_bucket_span_validation(spark):
+    df = spark.createDataFrame([(1, 100)], "n int, v int")
+    # quoted duration span is unquoted and accepted
+    r = run_esql(
+        spark,
+        "ROW ts = TO_DATETIME('2024-03-05 10:00:00') "
+        "| EVAL wk = BUCKET(ts, '1 week')",
+        tables={},
+    ).collect()
+    assert str(r[0]["wk"]).startswith("2024-03-04")
+    # non-numeric, non-duration span is an error, not all-NULL keys
+    with pytest.raises(EsqlValidationError, match="BUCKET span"):
+        run_esql(
+            spark, "FROM t | STATS c = COUNT(*) BY b = BUCKET(n, v)",
+            tables={"t": df},
+        )
+
+
+def test_percentile_requires_literal_percent(spark):
+    df = spark.createDataFrame([(1, 50)], "n int, p int")
+    with pytest.raises(EsqlValidationError, match="PERCENTILE percent"):
+        run_esql(
+            spark, "FROM t | STATS x = PERCENTILE(n, p)", tables={"t": df}
+        )

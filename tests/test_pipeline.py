@@ -9,6 +9,7 @@ import json
 import os
 import re
 import shutil
+import time
 
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
@@ -342,10 +343,16 @@ def test_snapshot_publish_mode(spark, seq_data, tmp_path_factory):
         m1["run_id"], m3["run_id"]
     }
 
-    # debris GC: an unreferenced run dir disappears on the next run
+    # debris GC: a record-less dir gets the same grace window as a
+    # crashed run (it may be a concurrent writer whose manifest record
+    # was clobbered) — fresh it survives, aged past the grace it goes
     debris = os.path.join(out, "snapshots", "deadbeef0000")
     os.makedirs(debris)
     open(os.path.join(debris, "junk"), "w").write("x")
+    run_pipeline(spark, cfg)
+    assert os.path.exists(debris)  # younger than snapshot_gc_grace_s
+    old = time.time() - cfg.snapshot_gc_grace_s - 60
+    os.utime(debris, (old, old))
     run_pipeline(spark, cfg)
     assert not os.path.exists(debris)
 

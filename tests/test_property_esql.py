@@ -85,8 +85,15 @@ EVALS = [
     ("e = CONCAT(grp, '_x')", "(grp || '_x') AS e"),
     ("e = TO_UPPER(txt)", "upper(txt) AS e"),
     # zero divisors occur (n % 7 == 0 rows): both engines must null,
-    # exercising the try_divide/try_mod rewrite incl. precedence
-    ("e = n / (n % 7)", "n / (n % 7) AS e"),
+    # exercising the try_divide/try_mod rewrite incl. precedence.
+    # int/int division is ES|QL TRUNCATING division — paired with
+    # DuckDB's // (also truncate-toward-zero, NULL on zero), NOT its
+    # float /: the pair is the oracle for the type-aware div emission
+    ("e = n / (n % 7)", "n // (n % 7) AS e"),
+    # negative dividends: truncation toward zero, not floor
+    ("e = (n - 50) / 3", "(n - 50) // 3 AS e"),
+    # int / float stays float division on both sides
+    ("e = n / (val + 100.0)", "n / (val + 100.0) AS e"),
     ("e = n + n % (n % 5) * 2", "n + n % (n % 5) * 2 AS e"),
 ]
 
@@ -96,6 +103,9 @@ AGGS = [
     ("mx", "MAX(val)", "max(val) AS mx"),
     ("av", "AVG(val)", "avg(val) AS av"),
     ("mn", "MIN(n)", "CAST(min(n) AS BIGINT) AS mn"),
+    # per-aggregate WHERE -> SQL FILTER clause on both engines
+    ("sw", "SUM(n) WHERE n > 50", "CAST(sum(n) FILTER (WHERE n > 50) AS BIGINT) AS sw"),
+    ("cw", "COUNT(*) WHERE grp == 'a'", "count(*) FILTER (WHERE grp = 'a') AS cw"),
 ]
 
 # window-form pairs for INLINESTATS: integer aggregates only — integer
@@ -199,8 +209,14 @@ def pipeline_pairs(draw):
     if ordered:
         col = draw(st.sampled_from(ROW_SORT_COLS))
         desc = draw(st.booleans())
+        # explicit NULLS FIRST/LAST override vs the ES|QL default
+        nulls = draw(st.sampled_from([None, "FIRST", "LAST"]))
         dir_esql = "DESC" if desc else ""
-        dir_sql = "DESC NULLS FIRST" if desc else "ASC NULLS LAST"
+        if nulls:
+            dir_esql = f"{dir_esql} NULLS {nulls}".strip()
+            dir_sql = f"{'DESC' if desc else 'ASC'} NULLS {nulls}"
+        else:
+            dir_sql = "DESC NULLS FIRST" if desc else "ASC NULLS LAST"
         # id tiebreak makes SORT+LIMIT deterministic across engines
         esql.append(f"SORT {col} {dir_esql}, id")
         sql = f"SELECT * FROM ({sql}) ORDER BY {col} {dir_sql}, id"
