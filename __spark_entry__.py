@@ -895,14 +895,19 @@ def q_esql_inlinestats(spark, sf_dir):
 
 
 def q_esql_sample(spark, sf_dir):
-    """SAMPLE probability seed: Bernoulli row sample. Random sampling
-    has no cross-engine value oracle by construction (Spark seeds per
-    partition); the driver records the rows-only check, and the pytest
-    suite pins reproducibility + statistical bounds."""
+    """SAMPLE in its deterministic content-keyed form — SAMPLE p
+    HASH(col, seed) keeps a row iff the first 60 bits of
+    md5(str(col) ':' seed) mod 1e6 fall under p*1e6. Membership depends
+    only on the row's key (never partitioning or engine RNG), which is
+    both the reproducible-sampling idiom a training-data pipeline wants
+    and exactly oracle-checkable (DuckDB recomputes the hash bit-for-
+    bit). The Bernoulli form (SAMPLE p seed) stays available and is
+    pinned by pytest reproducibility + statistical-bounds tests."""
     tables = {"events": _t(spark, sf_dir, "events")}
     return run_esql(
         spark,
-        "FROM events | SAMPLE 0.2 7 | KEEP event_id, user_id | SORT event_id",
+        "FROM events | SAMPLE 0.2 HASH(event_id, 7) "
+        "| KEEP event_id, user_id | SORT event_id",
         tables=tables,
     )
 
@@ -1824,6 +1829,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT NULL, NULL, 'fork2', event_type, count(*)
             FROM events WHERE user_id = 1 GROUP BY event_type
+        """,
+        "esql_sample": """
+            -- deterministic HASH sampling recomputed bit-for-bit:
+            -- bucket = first 15 hex chars (60 bits) of
+            -- md5(event_id || ':7') as an integer, mod 1e6; keep < 2e5
+            SELECT event_id, user_id FROM events
+            WHERE CAST('0x' || substr(
+                    md5(CAST(event_id AS VARCHAR) || ':7'), 1, 15)
+                  AS BIGINT) % 1000000 < 200000
+            ORDER BY event_id
         """,
         "esql_inlinestats": """
             -- INLINESTATS == aggregates appended per row: stated as

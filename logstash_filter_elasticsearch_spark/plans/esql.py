@@ -35,6 +35,12 @@ from logstash_filter_elasticsearch_spark.functions.fieldref import (
 
 # placeholder grammar, elasticsearch.rb:468-470
 _PLACEHOLDER_NAME = re.compile(r"^[a-z_][a-z0-9_]*$")
+
+# CHANGE_POINT runs an ordered window over its whole input (a change-
+# point is a property of ONE series); this cap turns a forgotten
+# pre-filter into an error instead of a single-partition whole-table
+# sort at scale. Raise it deliberately for genuinely long series.
+CHANGE_POINT_MAX_ROWS = 100_000
 _PLACEHOLDER = re.compile(r"\?([A-Za-z_][A-Za-z0-9_]*)")
 
 # ---- integer-division type probe ---------------------------------------
@@ -1121,28 +1127,69 @@ def _run_stages(
             # (Spark seeds per partition), which is the engine-native
             # contract; cross-engine equality is not defined for random
             # sampling, so this op carries a rows-only oracle.
-            parts = body.split()
-            if len(parts) not in (1, 2):
-                raise EsqlValidationError("SAMPLE takes (probability[, seed])")
-            try:
-                prob = float(parts[0])
-            except ValueError:
-                raise EsqlValidationError(
-                    f"SAMPLE probability must be a number, got {parts[0]!r}"
-                ) from None
-            if not 0.0 < prob < 1.0:
-                raise EsqlValidationError(
-                    f"SAMPLE probability must be in (0, 1), got {prob}"
-                )
-            seed = None
-            if len(parts) == 2:
+            #
+            # Extension: SAMPLE probability HASH(col[, seed]) — content-
+            # keyed deterministic sampling (the reproducible-sampling
+            # idiom a training-data pipeline actually wants: membership
+            # depends only on the row's key, never on partitioning or
+            # engine RNG). Row kept iff the first 60 bits of
+            # md5(str(col) ':' seed), mod 1e6, fall under prob*1e6.
+            # md5-on-string is engine-portable, so this form has an
+            # exact cross-engine oracle (DuckDB recomputes it bit-for-
+            # bit), unlike the Bernoulli form.
+            mh = re.fullmatch(
+                r"([0-9.eE+-]+)\s+HASH\s*\(\s*([A-Za-z_][\w.]*)"
+                r"(?:\s*,\s*(\d+))?\s*\)",
+                body.strip(),
+            )
+            if mh:
                 try:
-                    seed = int(parts[1])
+                    prob = float(mh.group(1))
                 except ValueError:
                     raise EsqlValidationError(
-                        f"SAMPLE seed must be an integer, got {parts[1]!r}"
+                        f"SAMPLE probability must be a number, "
+                        f"got {mh.group(1)!r}"
                     ) from None
-            df = df.sample(fraction=prob, seed=seed)
+                if not 0.0 < prob < 1.0:
+                    raise EsqlValidationError(
+                        f"SAMPLE probability must be in (0, 1), got {prob}"
+                    )
+                seed = int(mh.group(3) or 0)
+                key = F.concat(
+                    F.col(mh.group(2)).cast("string"), F.lit(f":{seed}")
+                )
+                bucket = F.conv(
+                    F.substring(F.md5(key), 1, 15), 16, 10
+                ).cast("bigint") % F.lit(1_000_000)
+                df = df.filter(bucket < int(round(prob * 1_000_000)))
+            else:
+                parts = body.split()
+                if len(parts) not in (1, 2):
+                    raise EsqlValidationError(
+                        "SAMPLE takes (probability[, seed]) or "
+                        "(probability HASH(col[, seed]))"
+                    )
+                try:
+                    prob = float(parts[0])
+                except ValueError:
+                    raise EsqlValidationError(
+                        f"SAMPLE probability must be a number, "
+                        f"got {parts[0]!r}"
+                    ) from None
+                if not 0.0 < prob < 1.0:
+                    raise EsqlValidationError(
+                        f"SAMPLE probability must be in (0, 1), got {prob}"
+                    )
+                seed = None
+                if len(parts) == 2:
+                    try:
+                        seed = int(parts[1])
+                    except ValueError:
+                        raise EsqlValidationError(
+                            f"SAMPLE seed must be an integer, "
+                            f"got {parts[1]!r}"
+                        ) from None
+                df = df.sample(fraction=prob, seed=seed)
         elif cmd == "SORT":
             # SORT col [ASC|DESC] [NULLS FIRST|NULLS LAST], ...
             # ES|QL defaults: ASC; nulls treated as larger than any
@@ -1259,6 +1306,20 @@ def _apply_change_point(df: DataFrame, body: str) -> DataFrame:
     val, key, type_col, pval_col = (
         m.group(1), m.group(2), m.group(3) or "type", m.group(4) or "pvalue",
     )
+    # Enforce the single-series contract instead of trusting it: an
+    # unfiltered call would pull the whole table through one partition.
+    # limit(N+1).count() is a cheap probe — Spark stops scanning at the
+    # limit, so the cost is bounded regardless of input size.
+    probe = df.limit(CHANGE_POINT_MAX_ROWS + 1).count()
+    if probe > CHANGE_POINT_MAX_ROWS:
+        raise EsqlValidationError(
+            f"CHANGE_POINT input exceeds {CHANGE_POINT_MAX_ROWS} rows: "
+            f"a change-point is a property of ONE series and runs in a "
+            f"single-partition ordered window. Filter to one entity's "
+            f"series first (e.g. `WHERE user_id == 3`), or raise "
+            f"esql.CHANGE_POINT_MAX_ROWS if the series is truly this "
+            f"long."
+        )
     v = F.col(val).cast("double")
     w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.orderBy(key).rowsBetween(

@@ -5,6 +5,7 @@ Fixture table from spec/filters/integration/elasticsearch_esql_spec.rb:16-25
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from logstash_filter_elasticsearch_spark.functions.fieldref import (
     field_ref_to_path,
@@ -922,3 +923,56 @@ def test_percentile_requires_literal_percent(spark):
         run_esql(
             spark, "FROM t | STATS x = PERCENTILE(n, p)", tables={"t": df}
         )
+
+
+def test_sample_hash_deterministic(spark):
+    """SAMPLE p HASH(col, seed): content-keyed membership — identical
+    across repeats and partitionings, disjoint-ish across seeds, and
+    approximately p of the input."""
+    df = spark.range(0, 2000).withColumnRenamed("id", "event_id")
+    q = "FROM t | SAMPLE 0.2 HASH(event_id, 7) | SORT event_id"
+    a = [r["event_id"] for r in run_esql(spark, q, tables={"t": df}).collect()]
+    b = [
+        r["event_id"]
+        for r in run_esql(
+            spark, q, tables={"t": df.repartition(13)}
+        ).collect()
+    ]
+    assert a == b  # partitioning-independent, unlike Bernoulli SAMPLE
+    assert 0.15 < len(a) / 2000 < 0.25
+    c = [
+        r["event_id"]
+        for r in run_esql(
+            spark,
+            "FROM t | SAMPLE 0.2 HASH(event_id, 8) | SORT event_id",
+            tables={"t": df},
+        ).collect()
+    ]
+    assert c != a  # seed changes membership
+    # default seed is 0
+    d = run_esql(
+        spark, "FROM t | SAMPLE 0.5 HASH(event_id)", tables={"t": df}
+    ).count()
+    assert 0.45 < d / 2000 < 0.55
+    with pytest.raises(EsqlValidationError, match="SAMPLE probability"):
+        run_esql(spark, "FROM t | SAMPLE 1.5 HASH(event_id)", tables={"t": df})
+
+
+def test_change_point_guard_requires_bounded_input(spark, monkeypatch):
+    """An unfiltered CHANGE_POINT over a big table raises with advice
+    instead of silently single-partitioning the whole input."""
+    from logstash_filter_elasticsearch_spark.plans import esql as esql_mod
+
+    monkeypatch.setattr(esql_mod, "CHANGE_POINT_MAX_ROWS", 100)
+    big = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    with pytest.raises(EsqlValidationError, match="Filter to one entity"):
+        run_esql(spark, "FROM t | CHANGE_POINT v ON k", tables={"t": big})
+    # under the cap the detector runs as before
+    out = run_esql(
+        spark,
+        "FROM t | WHERE k < 50 | CHANGE_POINT v ON k",
+        tables={"t": big},
+    )
+    assert out.count() == 50
