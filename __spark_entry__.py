@@ -122,6 +122,32 @@ def q_docinfo_latest(spark, sf_dir):
     )
 
 
+def q_sort_missing_values(spark, sf_dir):
+    """B4 with ES per-field `missing` sort semantics: a nullable sort
+    key (totalprice only for 'F' orders) sorted desc with
+    missing:_first — missing docs LEAD the result order, the opposite
+    of both directions' defaults (ES sort docs; elasticsearch.rb:43-44).
+    o_orderkey asc tiebreak makes top-2 deterministic."""
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "np",
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")),
+    )
+    spec = EnrichSpec(
+        event_key="user_id",
+        lookup_key="o_custkey",
+        fields={"o_orderkey": "keys"},
+        result_size=2,
+        sort=[("np", "desc", "_first"), ("o_orderkey", "asc")],
+    )
+    out = Enricher(spec).apply(events, orders)
+    return out.select(
+        "event_id",
+        F.try_element_at("keys", F.lit(1)).alias("k1"),
+        F.try_element_at("keys", F.lit(2)).alias("k2"),
+    )
+
+
 def q_total_hits(spark, sf_dir):
     """A5: [@metadata][total_hits] per event (dsl_executor.rb:48,99-107)."""
     events = _t(spark, sf_dir, "events")
@@ -439,6 +465,40 @@ def q_query_template_theta(spark, sf_dir):
         "event_id",
         F.element_at("best_key", 1).alias("best_key"),
         F.col("_meta_total_hits").alias("n_hits"),
+    )
+
+
+def q_match_analyzed(spark, sf_dir):
+    """Analyzed full-text match/match_phrase template nodes
+    (docs/index.asciidoc:85-103): standard-analyzer approximation
+    (lowercase + Unicode-word tokenize) with OR-overlap for match,
+    token containment for operator:and, and consecutive in-order
+    tokens for match_phrase — not keyword equality (that stays term's
+    job). Filter = match OR; columns = the AND and phrase variants."""
+    from logstash_filter_elasticsearch_spark.plans.template import (
+        compile_template,
+        to_column,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    keep = compile_template(
+        {"query": {"match": {"text": "VECTOR stream"}}}
+    ).conjuncts()[0]
+    both = compile_template(
+        {"query": {"match": {"text": {"query": "vector stream",
+                                      "operator": "and"}}}}
+    ).conjuncts()[0]
+    phrase = compile_template(
+        {"query": {"match_phrase": {"text": "vector stream"}}}
+    ).conjuncts()[0]
+    return (
+        docs.filter(to_column(keep, F.col))
+        .select(
+            "doc_id",
+            to_column(both, F.col).alias("both_toks"),
+            to_column(phrase, F.col).alias("phrase"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -1160,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_template_render": q_query_template_render,
         "query_template_theta": q_query_template_theta,
         "query_string_template": q_query_string_template,
+        "match_analyzed": q_match_analyzed,
         "esql_grok": q_esql_grok,
         "esql_dissect": q_esql_dissect,
         "esql_enrich": q_esql_enrich,
@@ -1168,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_left_join": q_enrich_left_join,
         "fields_multi_hit": q_fields_multi_hit,
         "docinfo_latest": q_docinfo_latest,
+        "sort_missing_values": q_sort_missing_values,
         "total_hits": q_total_hits,
         "aggregation_fields": q_aggregation_fields,
         "matched_decoration": q_matched_decoration,
@@ -1424,6 +1486,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events e LEFT JOIN ranked r
               ON e.user_id = r.o_custkey AND r.rn = 1
         """,
+        "sort_missing_values": """
+            -- missing:_first on a desc sort = DESC NULLS FIRST
+            WITH ranked AS (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY (CASE WHEN o_orderstatus = 'F'
+                                      THEN o_totalprice END)
+                                DESC NULLS FIRST,
+                                o_orderkey ASC) AS rn
+              FROM orders
+            )
+            SELECT e.event_id, r1.o_orderkey AS k1, r2.o_orderkey AS k2
+            FROM events e
+            LEFT JOIN ranked r1 ON e.user_id = r1.o_custkey AND r1.rn = 1
+            LEFT JOIN ranked r2 ON e.user_id = r2.o_custkey AND r2.rn = 2
+        """,
         "total_hits": """
             SELECT e.event_id, coalesce(g.n, 0) AS total_hits
             FROM events e LEFT JOIN (
@@ -1511,6 +1590,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e.event_id, h.best_key, coalesce(h.n, 0) AS n_hits
             FROM events e LEFT JOIN hits h ON e.event_id = h.event_id
+        """,
+        "match_analyzed": """
+            -- the same standard-analyzer approximation, recomputed:
+            -- lowercase, split on non-letter/digit runs, drop empties
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                       '[^\\p{L}\\p{N}]+'), x -> x <> '') AS toks
+              FROM documents)
+            SELECT doc_id,
+                   list_has_all(toks, ['vector','stream']) AS both_toks,
+                   contains(' ' || array_to_string(toks, ' ') || ' ',
+                            ' vector stream ') AS phrase
+            FROM t WHERE list_has_any(toks, ['vector','stream'])
+            ORDER BY doc_id
         """,
         "query_string_template": """
             WITH ranked AS (

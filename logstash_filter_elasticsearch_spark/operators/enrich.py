@@ -55,27 +55,46 @@ def _get(col: Column, path: str) -> Column:
     return reduce(lambda c, p: c[p], field_ref_to_path(path).split("."), col)
 
 
-def hits_comparator(sort_spec: list[tuple[str, str]]):
+def hits_comparator(sort_spec: list[tuple]):
     """array_sort comparator over hit structs from an ES-style sort spec
-    (``[("path", "desc"), ...]``; elasticsearch.rb:43-44,
-    docs/index.asciidoc:510-516). NULLs sort last for desc, first for
-    asc, matching ES missing-value defaults closely enough for the
-    snapshot lookup."""
+    (elasticsearch.rb:43-44, docs/index.asciidoc:510-516).
+
+    Each item is ``(path, direction)`` or ``(path, direction, missing)``
+    with ES per-field ``missing`` semantics: ``"_last"`` (the ES
+    default — docs with no value land at the END of the result order,
+    whatever the direction), ``"_first"`` (the opposite), or any other
+    value, which is substituted for missing before comparing (ES custom
+    missing). Two-tuples get the ``_last`` default.
+    """
 
     def cmp(left: Column, right: Column) -> Column:
         expr = F.lit(0)
         # build innermost-first so earlier sort keys take precedence
-        for path, direction in reversed(sort_spec):
+        for spec in reversed(sort_spec):
+            path, direction = spec[0], spec[1]
+            missing = spec[2] if len(spec) > 2 else "_last"
             sign = -1 if direction.lower().startswith("d") else 1
             lv, rv = _get(left, path), _get(right, path)
-            expr = (
-                F.when(lv.isNull() & rv.isNull(), expr)
-                .when(lv.isNull(), F.lit(-sign))
-                .when(rv.isNull(), F.lit(sign))
-                .when(lv < rv, F.lit(-sign))
-                .when(lv > rv, F.lit(sign))
-                .otherwise(expr)
-            )
+            if missing in ("_first", "_last"):
+                # placement in the RESULT order, independent of the
+                # direction — exactly ES's _first/_last
+                null_l = F.lit(-1 if missing == "_first" else 1)
+                expr = (
+                    F.when(lv.isNull() & rv.isNull(), expr)
+                    .when(lv.isNull(), null_l)
+                    .when(rv.isNull(), -null_l)
+                    .when(lv < rv, F.lit(-sign))
+                    .when(lv > rv, F.lit(sign))
+                    .otherwise(expr)
+                )
+            else:
+                lv2 = F.coalesce(lv, F.lit(missing))
+                rv2 = F.coalesce(rv, F.lit(missing))
+                expr = (
+                    F.when(lv2 < rv2, F.lit(-sign))
+                    .when(lv2 > rv2, F.lit(sign))
+                    .otherwise(expr)
+                )
         return expr
 
     return cmp
@@ -106,7 +125,8 @@ class EnrichSpec:
     # key = date_trunc(calendar_interval, v) as a timestamp.
     aggregation_fields: dict[str, tuple] = field(default_factory=dict)
     result_size: int = 1  # elasticsearch.rb:130-131; 0 = agg-only search
-    sort: list[tuple[str, str]] = field(default_factory=lambda: [("@timestamp", "desc")])
+    # (path, direction[, missing]) — see hits_comparator
+    sort: list[tuple] = field(default_factory=lambda: [("@timestamp", "desc")])
     enable_sort: bool = True  # elasticsearch.rb:127-128
     target: str | None = None  # nest dest fields under one struct (dsl_executor.rb:21-25)
     tag_on_failure: list[str] = field(default_factory=lambda: [DEFAULT_FAILURE_TAG])
@@ -125,7 +145,7 @@ class Enricher:
         paths = [field_ref_to_path(p) for p in self.spec.fields]
         paths += [field_ref_to_path(p) for p in self.spec.docinfo_fields]
         if self.spec.enable_sort:
-            paths += [field_ref_to_path(p) for p, _ in self.spec.sort]
+            paths += [field_ref_to_path(s[0]) for s in self.spec.sort]
         # dedupe preserving order
         seen: dict[str, None] = {}
         for p in paths:
@@ -157,9 +177,9 @@ class Enricher:
         # "@timestamp:desc" (elasticsearch.rb:43-44)
         present = set(lookup.columns)
         self._sort = [
-            (p, d)
-            for p, d in spec.sort
-            if field_ref_to_path(p).split(".")[0] in present
+            s
+            for s in spec.sort
+            if field_ref_to_path(s[0]).split(".")[0] in present
         ]
 
         aggs = [F.count(F.lit(1)).alias("_total_hits")]  # dsl_executor.rb:48

@@ -21,8 +21,11 @@ Here the template is compiled ONCE at plan time into three parts:
    and only when the template demands per-event inequality predicates).
 
 Supported query nodes: ``bool`` (must/filter/should/must_not),
-``term``, ``terms``, ``match``/``match_phrase`` (treated as keyword
-equality — no text analysis, documented simplification), ``range``
+``term``, ``terms``, ``match``/``match_phrase`` (ANALYZED text
+semantics: standard-analyzer approximation — lowercase + Unicode-word
+tokenize — with token overlap for ``match`` (``operator: and``
+supported) and consecutive in-order tokens for ``match_phrase``;
+``term`` stays keyword equality, as in ES), ``range``
 (gt/gte/lt/lte), ``exists``, ``wildcard`` (``*``/``?``), ``match_all``,
 and ``query_string`` with a mini-grammar (``field:value``, ``AND/OR/NOT``,
 parentheses, ``field:[a TO b]`` / ``field:>=v`` ranges, ``_exists_:f``,
@@ -130,6 +133,27 @@ class Wildcard:
 
 
 @dataclass(frozen=True)
+class Match:
+    """Analyzed full-text ``match`` / ``match_phrase``.
+
+    ES analyzes text-field queries before matching (standard analyzer:
+    Unicode-word tokenize + lowercase) — the behavior a user porting a
+    reference template with ``match`` on an analyzed field expects
+    (docs/index.asciidoc:85-103). Approximated here with the same
+    tokenizer on both sides (``lower`` + split on non-letter/digit):
+    ``match`` = token overlap (``operator: or``, the ES default) or
+    token containment (``operator: and``); ``match_phrase`` = the query
+    tokens appear consecutively in field order. A query that analyzes
+    to zero tokens matches nothing (ES ``zero_terms_query: none``
+    default). For exact keyword equality use ``term``, as in ES."""
+
+    field: str
+    query: Lit | EventRef
+    operator: str = "or"
+    phrase: bool = False
+
+
+@dataclass(frozen=True)
 class MatchAll:
     pass
 
@@ -146,6 +170,8 @@ _RANGE_OPS = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
 def _has_ref(node) -> bool:
     if isinstance(node, Term):
         return node.value.has_ref
+    if isinstance(node, Match):
+        return node.query.has_ref
     if isinstance(node, Terms):
         return any(v.has_ref for v in node.values)
     if isinstance(node, Range):
@@ -163,6 +189,14 @@ def _like_pattern(p: str) -> str:
         .replace("*", "%").replace("?", "_")
 
 
+def _analyze(c: Column) -> Column:
+    """Standard-analyzer approximation: lowercase, split on any run of
+    non-letter/non-digit (Unicode classes), drop empty tokens. Pure
+    codegen (split/filter), constant-folded when ``c`` is a literal."""
+    toks = F.split(F.lower(c.cast("string")), r"[^\p{L}\p{N}]+")
+    return F.filter(toks, lambda x: x != F.lit(""))
+
+
 def to_column(node, res: Callable[[str], Column]) -> Column:
     """Compile a clause tree to a Column; ``res`` maps a field name to
     the side it lives on (lookup snapshot or joined alias)."""
@@ -170,6 +204,20 @@ def to_column(node, res: Callable[[str], Column]) -> Column:
         return F.lit(True)
     if isinstance(node, Term):
         return res(node.field) == node.value.expr()
+    if isinstance(node, Match):
+        ftoks = _analyze(res(node.field))
+        qtoks = _analyze(node.query.expr())
+        nonempty = F.size(qtoks) > 0
+        if node.phrase:
+            # consecutive-in-order containment via sentinel-spaced
+            # token strings: ' a b c ' contains ' b c ' iff the query
+            # tokens appear adjacent and in order
+            fs = F.concat(F.lit(" "), F.array_join(ftoks, " "), F.lit(" "))
+            qs = F.concat(F.lit(" "), F.array_join(qtoks, " "), F.lit(" "))
+            return nonempty & F.contains(fs, qs)
+        if node.operator == "and":
+            return nonempty & (F.size(F.array_except(qtoks, ftoks)) == 0)
+        return nonempty & F.arrays_overlap(ftoks, qtoks)
     if isinstance(node, Terms):
         if all(not v.has_ref for v in node.values):
             return res(node.field).isin([v.value for v in node.values])
@@ -233,11 +281,24 @@ def _parse_query(node: dict):
         if not children:
             return MatchAll()
         return children[0] if len(children) == 1 else Bool("and", tuple(children))
-    if kind in ("term", "match", "match_phrase"):
+    if kind == "term":
         f, v = _single(body)
         if isinstance(v, dict):  # {"f": {"value": v}} long form
             v = v.get("value", v.get("query"))
         return Term(f, _val(v))
+    if kind in ("match", "match_phrase"):
+        f, v = _single(body)
+        operator = "or"
+        if isinstance(v, dict):  # {"f": {"query": q, "operator": "and"}}
+            operator = str(v.get("operator", "or")).lower()
+            if operator not in ("or", "and"):
+                raise TemplateError(
+                    f"match operator must be 'or' or 'and', got {operator!r}"
+                )
+            v = v.get("query", v.get("value"))
+        return Match(
+            f, _val(v), operator=operator, phrase=kind == "match_phrase"
+        )
     if kind == "terms":
         f, vs = _single(body)
         return Terms(f, tuple(_val(v) for v in vs))

@@ -270,3 +270,29 @@ def test_date_histogram_bucket_aggregation(spark, tables):
     assert len(b) == 1 and b[0]["doc_count"] == 3
     assert str(b[0]["key"]).startswith("2014-08-26")
     assert rows["e3"]["ts_hist"] is None
+
+
+def test_sort_missing_value_semantics(spark):
+    """ES per-field `missing`: _last default (missing docs end the
+    result order in BOTH directions), _first, and custom substitution
+    (elasticsearch.rb:43-44; ES sort docs). Three-tuples opt in; plain
+    (path, direction) pairs get the ES default _last."""
+    events = spark.createDataFrame([("e1", 1)], "event_id string, key long")
+    lookup = spark.createDataFrame(
+        [(1, 10, "a"), (1, None, "b"), (1, 5, "c")],
+        "join_key long, rank long, val string",
+    )
+
+    def vals(sort):
+        spec = EnrichSpec(
+            event_key="key", lookup_key="join_key",
+            fields={"val": "vals"}, result_size=10, sort=sort,
+        )
+        return Enricher(spec).apply(events, lookup).collect()[0]["vals"]
+
+    assert vals([("rank", "asc")]) == ["c", "a", "b"]       # default _last
+    assert vals([("rank", "desc")]) == ["a", "c", "b"]      # _last both dirs
+    assert vals([("rank", "asc", "_first")]) == ["b", "c", "a"]
+    assert vals([("rank", "desc", "_first")]) == ["b", "a", "c"]
+    assert vals([("rank", "asc", 7)]) == ["c", "b", "a"]    # custom: 5,7,10
+    assert vals([("rank", "desc", 7)]) == ["a", "b", "c"]

@@ -375,3 +375,81 @@ def test_uncoercible_event_key_no_match_not_abort(spark):
     assert rows["e1"]["label"] == ["answer"]
     assert rows["e2"]["label"] is None  # no match, row intact
     assert rows["e2"]["matched"] is False
+
+
+# ------------------------------------------------------------- analyzed match
+
+def test_match_analyzed_semantics(spark):
+    """match = analyzed token overlap (OR default / AND operator);
+    match_phrase = consecutive in-order tokens; term stays keyword
+    equality. Standard-analyzer approximation: lowercase + split on
+    non-letter/digit (docs/index.asciidoc:85-103 templates)."""
+    from logstash_filter_elasticsearch_spark.plans.template import (
+        Match,
+        to_column,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Quick Brown Fox jumps"),
+            (2, "the brown dog"),
+            (3, "fox-trot: QUICK!"),
+            (4, "nothing here"),
+            (5, None),
+        ],
+        "id long, txt string",
+    )
+
+    def ids(node):
+        return sorted(
+            r["id"] for r in df.filter(to_column(node, F.col)).collect()
+        )
+
+    t = compile_template({"query": {"match": {"txt": "quick FOX"}}})
+    assert isinstance(t.conjuncts()[0], Match)
+    assert ids(t.conjuncts()[0]) == [1, 3]  # any token, case-folded
+
+    t = compile_template(
+        {"query": {"match": {"txt": {"query": "quick fox", "operator": "and"}}}}
+    )
+    assert ids(t.conjuncts()[0]) == [1, 3]  # both tokens required
+    t = compile_template(
+        {"query": {"match": {"txt": {"query": "brown fox", "operator": "and"}}}}
+    )
+    assert ids(t.conjuncts()[0]) == [1]  # dog row lacks 'fox'
+
+    t = compile_template({"query": {"match_phrase": {"txt": "brown fox"}}})
+    assert ids(t.conjuncts()[0]) == [1]  # adjacent + ordered only
+    t = compile_template({"query": {"match_phrase": {"txt": "fox brown"}}})
+    assert ids(t.conjuncts()[0]) == []  # order matters
+
+    # punctuation is a token break: 'fox-trot' analyzes to [fox, trot]
+    t = compile_template({"query": {"match_phrase": {"txt": "fox trot"}}})
+    assert ids(t.conjuncts()[0]) == [3]
+
+    # zero-terms query matches nothing (ES zero_terms_query: none)
+    t = compile_template({"query": {"match": {"txt": "..."}}})
+    assert ids(t.conjuncts()[0]) == []
+
+    # term keeps exact keyword equality — no analysis
+    t = compile_template({"query": {"term": {"txt": "the brown dog"}}})
+    assert ids(t.conjuncts()[0]) == [2]
+
+    with pytest.raises(TemplateError, match="match operator"):
+        compile_template(
+            {"query": {"match": {"txt": {"query": "x", "operator": "nor"}}}}
+        )
+
+
+def test_match_with_event_ref_classifies_theta(spark):
+    """A ref-bearing match is not an equality — it must go to the theta
+    path, never the hash-join keys; and the compiled condition analyzes
+    the interpolated query per event."""
+    from logstash_filter_elasticsearch_spark.plans.template import Match
+
+    t = compile_template(
+        {"query": {"match": {"txt": "%{[needle]}"}}}
+    )
+    static, join_pairs, theta = classify(t)
+    assert static == [] and join_pairs == []
+    assert len(theta) == 1 and isinstance(theta[0], Match)
