@@ -544,6 +544,25 @@ def q_esql_grok(spark, sf_dir):
     )
 
 
+def q_esql_grok_logline(spark, sf_dir):
+    """GROK with the first-reach logstash patterns (%{IP}, %{URIPATH},
+    %{LOGLEVEL}) over a synthesized access-log line; the oracle
+    recomputes the fields from the same source columns."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    return run_esql(
+        spark,
+        "FROM events "
+        "| EVAL line = CONCAT('10.', TO_STRING(user_id % 200), '.0.', "
+        "TO_STRING(event_id % 250), ' - GET /api/items/', "
+        "TO_STRING(event_id), ' INFO') "
+        '| GROK line "%{IP:ip} - %{WORD:verb} %{URIPATH:path} '
+        '%{LOGLEVEL:level}" '
+        "| KEEP event_id, ip, verb, path, level "
+        "| SORT event_id | LIMIT 1000",
+        tables=tables,
+    )
+
+
 def q_esql_dissect(spark, sf_dir):
     """ES|QL DISSECT: literal-delimited extraction."""
     tables = {"documents": _t(spark, sf_dir, "documents")}
@@ -1223,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_analyzed": q_match_analyzed,
         "esql_grok": q_esql_grok,
         "esql_dissect": q_esql_dissect,
+        "esql_grok_logline": q_esql_grok_logline,
         "esql_enrich": q_esql_enrich,
         "esql_mv_expand": q_esql_mv_expand,
         # -- green since r1 --
@@ -1627,6 +1647,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(regexp_extract(props, '[+-]?\d+') AS bigint) AS k
             FROM events ORDER BY event_id
+        """,
+        "esql_grok_logline": """
+            -- the line is built from source columns, so the oracle
+            -- states the extracted fields directly (int %% is
+            -- truncating in both engines for non-negative operands)
+            SELECT event_id,
+                   '10.' || (user_id % 200) || '.0.' || (event_id % 250)
+                     AS ip,
+                   'GET' AS verb,
+                   '/api/items/' || event_id AS path,
+                   'INFO' AS level
+            FROM events ORDER BY event_id LIMIT 1000
         """,
         "esql_dissect": """
             SELECT doc_id, source AS s, lang AS l FROM documents

@@ -395,7 +395,14 @@ def run_scaling(data_dir: str, levels=(2, 8, 32), trials: int | None = None) -> 
     return out
 
 
-def run_headline(sf_dir: str, cores: int) -> dict:
+def run_headline(sf_dir: str, cores: int, reps: int = 2) -> dict:
+    """One invocation (one fresh SparkSession): per query, warm the
+    plan/codegen path once, then take the MEDIAN of ``reps`` timed
+    runs. The caller runs >=2 invocations in separate time windows and
+    records the per-query best-of-invocations median — the same
+    one-sided-noise protocol as the scaling measurement (steal only
+    ever slows a run; r3's driver window recorded minhash_lsh at 15.1 s
+    vs the 2.3 s quiet-window truth under the single-shot scheme)."""
     import __spark_entry__ as entrymod
     from logstash_filter_elasticsearch_spark.session import get_spark
 
@@ -405,9 +412,12 @@ def run_headline(sf_dir: str, cores: int) -> dict:
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, sf_dir).limit(1).count()  # warm plan/codegen path
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.monotonic() - t0)
+        timings[name] = round(_median(samples), 3)
     spark.stop()
     return timings
 
@@ -435,16 +445,28 @@ def main() -> None:
     ]
     scaling = max(invocations, key=lambda s: s["scaling_efficiency"])
     scaling["scaling_invocations"] = n_inv
-    scaling["scaling_efficiency_invocation_medians"] = [
-        s["scaling_efficiency"] for s in invocations
-    ]
+    inv_medians = [s["scaling_efficiency"] for s in invocations]
+    scaling["scaling_efficiency_invocation_medians"] = inv_medians
+    # primary (typical-machine) number: the median across invocation
+    # medians; the max is real signal too (steal is one-sided, so the
+    # quietest window best estimates uncontended capability) but is
+    # labeled explicitly as best_invocation, not recorded as the
+    # headline
+    scaling["scaling_efficiency_best_invocation"] = max(inv_medians)
+    scaling["scaling_efficiency"] = round(_median(inv_medians), 3)
     scaling["scaling_efficiency_low_steal_invocations"] = [
         s["scaling_efficiency_low_steal"] for s in invocations
     ]
     scaling["compute_efficiency_invocations"] = [
         s.get("compute_efficiency_2_to_8") for s in invocations
     ]
-    queries = run_headline(sf_dir, cpus)
+    # per-query: >=2 invocations (fresh sessions, separate windows),
+    # median-of-reps within each, min across invocations recorded
+    q_reps = int(os.environ.get("LFES_BENCH_QUERY_REPS", "2"))
+    q_invs = [run_headline(sf_dir, cpus, reps=q_reps) for _ in range(n_inv)]
+    queries = {
+        name: min(inv[name] for inv in q_invs) for name in HEADLINE
+    }
 
     out = {
         "metric": "e2e parse-enrich-route-aggregate throughput, local[32]",
@@ -453,6 +475,7 @@ def main() -> None:
         ),
         "unit": "seq/sec",
         "queries": queries,
+        "queries_invocations": q_invs,
         "sf": sf,
         **scaling,
     }

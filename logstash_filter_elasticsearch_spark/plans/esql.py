@@ -1471,6 +1471,18 @@ _GROK_PATTERNS = {
     "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)",
     "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
     "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    # the rest of the first-reach logstash set (grok-patterns, simplified
+    # to flat self-contained regexes — no %{...} cross-references)
+    "UNIXPATH": r"(?:/[\w.+=:,!@$%^&~-]*)+",
+    "WINPATH": r"(?:[A-Za-z]:|\\)(?:\\[^\\?*]*)+",
+    "PATH": r"(?:(?:/[\w.+=:,!@$%^&~-]*)+|(?:[A-Za-z]:|\\)(?:\\[^\\?*]*)+)",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_-]*)+",
+    "QUOTEDSTRING": r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'',
+    "HTTPDATE": r"\d{1,2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2}\s+[+-]\d{4}",
+    "SYSLOGTIMESTAMP": r"\w{3}\s+\d{1,2}\s\d{2}:\d{2}:\d{2}",
+    "MAC": r"(?:[0-9A-Fa-f]{2}[:-]){5}[0-9A-Fa-f]{2}",
+    "EMAILADDRESS": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IPV6": r"(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}",
 }
 
 _GROK_TYPES = {"int": "long", "long": "long", "float": "double", "double": "double"}

@@ -976,3 +976,46 @@ def test_change_point_guard_requires_bounded_input(spark, monkeypatch):
         tables={"t": big},
     )
     assert out.count() == 50
+
+
+def test_grok_pattern_library_breadth(spark):
+    """The first-reach logstash patterns extract correctly; unmatched
+    lines yield NULLs (grok no-match keeps the row)."""
+    cases = [
+        ("IP", "src=192.168.0.1 end", "192.168.0.1"),
+        ("IPV6", "src=2001:db8::8a2e:370:7334 end", "2001:db8::8a2e:370:7334"),
+        ("HOSTNAME", "src=web-01.example.com end", "web-01.example.com"),
+        ("UUID", "src=123e4567-e89b-12d3-a456-426614174000 end",
+         "123e4567-e89b-12d3-a456-426614174000"),
+        ("LOGLEVEL", "src=ERROR end", "ERROR"),
+        ("TIMESTAMP_ISO8601", "src=2024-03-05T10:11:12.345Z end",
+         "2024-03-05T10:11:12.345Z"),
+        ("UNIXPATH", "src=/var/log/app.log end", "/var/log/app.log"),
+        ("PATH", "src=/usr/local/bin end", "/usr/local/bin"),
+        ("URIPATH", "src=/api/v2/items end", "/api/v2/items"),
+        ("QUOTEDSTRING", 'src="a \\"quoted\\" str" end', '"a \\"quoted\\" str"'),
+        ("HTTPDATE", "src=10/Oct/2023:13:55:36 -0700 end",
+         "10/Oct/2023:13:55:36 -0700"),
+        ("SYSLOGTIMESTAMP", "src=Mar  5 10:11:12 end", "Mar  5 10:11:12"),
+        ("MAC", "src=00:1A:2b:3C:4d:5E end", "00:1A:2b:3C:4d:5E"),
+        ("EMAILADDRESS", "src=user.name+tag@example.co.uk end",
+         "user.name+tag@example.co.uk"),
+    ]
+    rows = [(i, line) for i, (_, line, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, line string")
+    for i, (pat, _, want) in enumerate(cases):
+        out = run_esql(
+            spark,
+            f'FROM t | WHERE i == {i} | GROK line "src=%{{{pat}:v}} end" '
+            "| KEEP v",
+            tables={"t": df},
+        ).collect()
+        assert out[0]["v"] == want, (pat, out[0]["v"])
+    # no match -> NULL field, row preserved
+    out = run_esql(
+        spark,
+        'FROM t | GROK line "src=%{MAC:v} end" | STATS n = COUNT(*), '
+        "nv = COUNT(v)",
+        tables={"t": df},
+    ).collect()
+    assert out[0]["n"] == len(cases) and out[0]["nv"] == 1
