@@ -1182,11 +1182,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver walks entries in order and may stop
-    # before the end (r2 covered only the first 50 of 59), so the ops that
-    # have never received a driver row run FIRST; the long-stable
-    # enrich/template rows (green since r1) come last.
+    # before the end (r3 covered the first 50 of 65), so entries that are
+    # NEW or whose code changed this round run FIRST, then the ops whose
+    # newest driver row is oldest (r2), then the freshly-r3-certified
+    # remainder.
     return {
-        # -- never driver-certified before r3 (locally oracle-verified) --
+        # -- new or changed in r4 --
+        "esql_sample": q_esql_sample,  # now deterministic HASH form + exact oracle
+        "match_analyzed": q_match_analyzed,
+        "sort_missing_values": q_sort_missing_values,
+        "esql_grok_logline": q_esql_grok_logline,
+        "esql_change_point": q_esql_change_point,  # input-size guard added
+        "esql_bucket": q_esql_bucket,  # BUCKET emission now try_divide
+        # -- enrich comparator default changed (missing:_last) in r4;
+        #    these exercise it and were last certified in r2 --
+        "enrich_left_join": q_enrich_left_join,
+        "fields_multi_hit": q_fields_multi_hit,
+        "docinfo_latest": q_docinfo_latest,
+        "total_hits": q_total_hits,
+        "aggregation_fields": q_aggregation_fields,
+        "matched_decoration": q_matched_decoration,
+        "quarantine_parse": q_quarantine_parse,
+        "sprintf_index": q_sprintf_index,
+        "query_string_filter": q_query_string_filter,
+        "terms_membership": q_terms_membership,
+        "topk_per_key": q_topk_per_key,
+        "esql_grok": q_esql_grok,
+        "esql_dissect": q_esql_dissect,
+        "esql_enrich": q_esql_enrich,
+        "esql_mv_expand": q_esql_mv_expand,
+        # -- certified green in r3 --
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
@@ -1196,14 +1221,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "esql_date_diff": q_esql_date_diff,
-        # -- new in r3 --
         "esql_rows_to_target_json": q_esql_rows_to_target_json,
         "esql_inlinestats": q_esql_inlinestats,
-        "esql_sample": q_esql_sample,
-        "esql_change_point": q_esql_change_point,
         "esql_fork": q_esql_fork,
-        "esql_bucket": q_esql_bucket,
-        # -- certified green in r2, newer ops first --
         "esql_first_row": q_esql_first_row,
         "esql_rows_to_target": q_esql_rows_to_target,
         "esql_total_values": q_esql_total_values,
@@ -1239,25 +1259,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_template_render": q_query_template_render,
         "query_template_theta": q_query_template_theta,
         "query_string_template": q_query_string_template,
-        "match_analyzed": q_match_analyzed,
-        "esql_grok": q_esql_grok,
-        "esql_dissect": q_esql_dissect,
-        "esql_grok_logline": q_esql_grok_logline,
-        "esql_enrich": q_esql_enrich,
-        "esql_mv_expand": q_esql_mv_expand,
-        # -- green since r1 --
-        "enrich_left_join": q_enrich_left_join,
-        "fields_multi_hit": q_fields_multi_hit,
-        "docinfo_latest": q_docinfo_latest,
-        "sort_missing_values": q_sort_missing_values,
-        "total_hits": q_total_hits,
-        "aggregation_fields": q_aggregation_fields,
-        "matched_decoration": q_matched_decoration,
-        "quarantine_parse": q_quarantine_parse,
-        "sprintf_index": q_sprintf_index,
-        "query_string_filter": q_query_string_filter,
-        "terms_membership": q_terms_membership,
-        "topk_per_key": q_topk_per_key,
     }
 
 

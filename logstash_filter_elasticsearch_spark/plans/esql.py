@@ -226,12 +226,20 @@ _RENAME_FNS = {  # same arg order, different Spark name
     "MV_MAX": "array_max",
     "MV_DEDUPE": "array_distinct",
     "MV_CONCAT": "array_join",
+    "MV_APPEND": "concat",
     "NOW": "current_timestamp",
+    "TO_BASE64": "base64",
+    "BYTE_LENGTH": "octet_length",
+    # ES std_deviation is population (Welford over all docs), not sample
+    "STD_DEV": "stddev_pop",
 }
 _CUSTOM_FNS = {
     "CASE", "MV_SUM", "MV_AVG", "MV_FIRST", "MV_LAST", "MV_SORT", "SPLIT",
     "DATE_DIFF", "DATE_EXTRACT", "COUNT_DISTINCT", "PERCENTILE",
     "CIDR_MATCH", "TO_IP", "BUCKET",
+    "MEDIAN", "VALUES", "TOP", "WEIGHTED_AVG",
+    "MV_SLICE", "MV_ZIP", "MV_MEDIAN",
+    "FROM_BASE64", "SHA256", "HASH",
 }
 _IPV4_RE = r"^(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])){3}$"
 # ES|QL DATE_EXTRACT takes java.time ChronoField names; map the common
@@ -456,6 +464,108 @@ def _translate_call(fn: str, args: list[str]) -> str:
     if fn == "COUNT_DISTINCT":
         arity(1)
         return f"count(distinct {args[0]})"
+    if fn == "MEDIAN":
+        # ES|QL MEDIAN == PERCENTILE(x, 50); ES computes it via TDigest
+        # (approximate), this engine computes the exact interpolated
+        # percentile — deterministic and oracle-checkable
+        arity(1)
+        return f"percentile({args[0]}, 0.5)"
+    if fn == "VALUES":
+        # unique values as a multivalue; ES documents the order as
+        # arbitrary, so this engine picks ascending — deterministic
+        # across partitionings and engines
+        arity(1)
+        return f"array_sort(collect_set({args[0]}))"
+    if fn == "TOP":
+        # TOP(field, limit, order): the top `limit` values (duplicates
+        # kept, NULLs dropped) as a multivalue in `order` direction;
+        # limit and order must be literals (as in ES|QL)
+        arity(3)
+        try:
+            limit = int(args[1])
+        except ValueError:
+            raise EsqlValidationError(
+                f"TOP limit must be an integer literal, got {args[1].strip()!r}"
+            ) from None
+        if limit < 1:
+            raise EsqlValidationError("TOP limit must be >= 1")
+        order = args[2].strip().strip("'\"").lower()
+        if order not in ("asc", "desc"):
+            raise EsqlValidationError(
+                f"TOP order must be 'asc' or 'desc', got {args[2].strip()!r}"
+            )
+        sorted_arr = f"array_sort(collect_list({args[0]}))"
+        if order == "desc":
+            sorted_arr = f"reverse({sorted_arr})"
+        return f"slice({sorted_arr}, 1, {limit})"
+    if fn == "WEIGHTED_AVG":
+        # sum(v*w)/sum(w), always double (explicit try_divide keeps it
+        # out of the int/int truncation rewrite; NULL on zero weight)
+        arity(2)
+        return (
+            f"try_divide(sum(cast(({args[0]}) as double) * ({args[1]})), "
+            f"sum({args[1]}))"
+        )
+    if fn == "MV_SLICE":
+        # MV_SLICE(arr, start[, end]): 0-based inclusive positions,
+        # negative = from the end (both must be literals of one sign)
+        if len(args) not in (2, 3):
+            raise EsqlValidationError("MV_SLICE takes (field, start[, end])")
+        try:
+            start = int(args[1])
+            end = int(args[2]) if len(args) == 3 else start
+        except ValueError:
+            raise EsqlValidationError(
+                "MV_SLICE start/end must be integer literals"
+            ) from None
+        if end < start:
+            raise EsqlValidationError("MV_SLICE end must be >= start")
+        if (start < 0) != (end < 0):
+            raise EsqlValidationError(
+                "MV_SLICE start and end must have the same sign"
+            )
+        spark_start = start + 1 if start >= 0 else start
+        return f"slice({args[0]}, {spark_start}, {end - start + 1})"
+    if fn == "MV_ZIP":
+        # pairwise join with the delimiter (default ','); the longer
+        # side's tail passes through (concat_ws skips the NULL pad)
+        if len(args) not in (2, 3):
+            raise EsqlValidationError("MV_ZIP takes (a, b[, delim])")
+        delim = args[2] if len(args) == 3 else "','"
+        return (
+            f"zip_with({args[0]}, {args[1]}, "
+            f"(l, r) -> concat_ws({delim}, l, r))"
+        )
+    if fn == "MV_MEDIAN":
+        # middle element of the sorted multivalue; even count -> average
+        # of the two middles. The final `/ 2` deliberately goes through
+        # the type-probed division rewrite: integral element types get
+        # ES's truncate-toward-zero average, doubles stay exact.
+        arity(1)
+        srt = f"array_sort({args[0]})"
+        lo = f"try_element_at({srt}, cast((size({args[0]}) + 1) div 2 as int))"
+        hi = f"try_element_at({srt}, cast((size({args[0]}) + 2) div 2 as int))"
+        return f"(({lo}) + ({hi})) / 2"
+    if fn == "FROM_BASE64":
+        arity(1)
+        return f"cast(unbase64({args[0]}) as string)"
+    if fn == "SHA256":
+        arity(1)
+        return f"sha2({args[0]}, 256)"
+    if fn == "HASH":
+        # HASH('alg', input) with a literal algorithm name
+        arity(2)
+        alg = args[0].strip().strip("'\"").lower()
+        if alg == "md5":
+            return f"md5({args[1]})"
+        if alg == "sha1":
+            return f"sha1({args[1]})"
+        if alg in ("sha256", "sha384", "sha512"):
+            return f"sha2({args[1]}, {alg[3:]})"
+        raise EsqlValidationError(
+            f"HASH algorithm must be one of md5/sha1/sha256/sha384/"
+            f"sha512, got {args[0].strip()!r}"
+        )
     if fn == "PERCENTILE":
         # ES|QL percent is 0-100; Spark percentile() takes a 0-1 fraction.
         # A literal percent folds HERE (percentile requires a foldable

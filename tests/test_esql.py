@@ -1019,3 +1019,84 @@ def test_grok_pattern_library_breadth(spark):
         tables={"t": df},
     ).collect()
     assert out[0]["n"] == len(cases) and out[0]["nv"] == 1
+
+
+def test_new_aggregates_median_values_top_wavg(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 3, 2.0), ("a", 10, 1.0), ("a", 3, 0.0),
+         ("b", 4, 1.0), ("b", 8, 3.0)],
+        "g string, n long, w double",
+    )
+    out = run_esql(
+        spark,
+        "FROM t | STATS med = MEDIAN(n), sd = STD_DEV(n), "
+        "vals = VALUES(n), top2 = TOP(n, 2, 'desc'), "
+        "bot2 = TOP(n, 2, 'asc'), wa = WEIGHTED_AVG(n, w) BY g | SORT g",
+        tables={"t": df},
+    ).collect()
+    a, b = out
+    assert a["med"] == 3.0 and b["med"] == 6.0
+    assert a["vals"] == [1, 3, 10] and b["vals"] == [4, 8]
+    assert a["top2"] == [10, 3] and a["bot2"] == [1, 3]
+    assert abs(a["wa"] - (1 * 1 + 3 * 2 + 10 * 1) / 4.0) < 1e-12
+    # population stddev of {1,3,10,3}: sqrt(46.75 / 4)
+    assert abs(a["sd"] - 11.6875 ** 0.5) < 1e-9
+    with pytest.raises(EsqlValidationError, match="TOP order"):
+        run_esql(spark, "FROM t | STATS x = TOP(n, 2, 'sideways')",
+                 tables={"t": df})
+    with pytest.raises(EsqlValidationError, match="TOP limit"):
+        run_esql(spark, "FROM t | STATS x = TOP(n, g, 'asc')",
+                 tables={"t": df})
+
+
+def test_new_mv_functions(spark):
+    df = spark.createDataFrame(
+        [(1, [5, 1, 3, 9], ["x", "y"], ["1", "2", "3"])],
+        "id long, nums array<long>, a array<string>, b array<string>",
+    )
+    out = run_esql(
+        spark,
+        "FROM t | EVAL s01 = MV_SLICE(nums, 0, 1), "
+        "last2 = MV_SLICE(nums, -2, -1), one = MV_SLICE(nums, 2), "
+        "z = MV_ZIP(a, b), zd = MV_ZIP(a, b, '-'), "
+        "app = MV_APPEND(a, b), med = MV_MEDIAN(nums)",
+        tables={"t": df},
+    ).collect()[0]
+    assert out["s01"] == [5, 1] and out["last2"] == [3, 9]
+    assert out["one"] == [3]
+    # unequal lengths: the longer side's tail passes through
+    assert out["z"] == ["x,1", "y,2", "3"]
+    assert out["zd"] == ["x-1", "y-2", "3"]
+    assert out["app"] == ["x", "y", "1", "2", "3"]
+    # sorted [1,3,5,9]: even count -> (3+5)/2, integral -> truncating 4
+    assert out["med"] == 4
+    odd = spark.createDataFrame(
+        [(1, [2.0, 9.0, 4.0])], "id long, nums array<double>"
+    )
+    r = run_esql(
+        spark, "FROM t | EVAL m = MV_MEDIAN(nums), "
+        "me = MV_MEDIAN(MV_SLICE(nums, 0, 1))", tables={"t": odd}
+    ).collect()[0]
+    # slice is positional (unsorted): [2.0, 9.0] -> exact double 5.5
+    assert r["m"] == 4.0 and r["me"] == 5.5
+    with pytest.raises(EsqlValidationError, match="same sign"):
+        run_esql(spark, "FROM t | EVAL x = MV_SLICE(nums, -2, 1)",
+                 tables={"t": odd})
+
+
+def test_base64_and_hash_functions(spark):
+    df = spark.createDataFrame([("hello",)], "s string")
+    out = run_esql(
+        spark,
+        "FROM t | EVAL b = TO_BASE64(s), rt = FROM_BASE64(TO_BASE64(s)), "
+        "h1 = HASH('md5', s), h2 = HASH('sha256', s), h3 = SHA256(s), "
+        "bl = BYTE_LENGTH(s)",
+        tables={"t": df},
+    ).collect()[0]
+    assert out["b"] == "aGVsbG8=" and out["rt"] == "hello"
+    assert out["h1"] == "5d41402abc4b2a76b9719d911017c592"
+    assert out["h2"] == out["h3"]
+    assert out["h2"].startswith("2cf24dba5fb0a30e26e83b2ac5b9e29e")
+    assert out["bl"] == 5
+    with pytest.raises(EsqlValidationError, match="HASH algorithm"):
+        run_esql(spark, "FROM t | EVAL x = HASH('crc32', s)", tables={"t": df})

@@ -95,6 +95,9 @@ EVALS = [
     # int / float stays float division on both sides
     ("e = n / (val + 100.0)", "n / (val + 100.0) AS e"),
     ("e = n + n % (n % 5) * 2", "n + n % (n % 5) * 2 AS e"),
+    # hash/base64 scalars: deterministic strings, engine-portable
+    ("e = HASH('md5', txt)", "md5(txt) AS e"),
+    ("e = TO_BASE64(txt)", "to_base64(txt::BLOB) AS e"),
 ]
 
 AGGS = [
@@ -106,6 +109,14 @@ AGGS = [
     # per-aggregate WHERE -> SQL FILTER clause on both engines
     ("sw", "SUM(n) WHERE n > 50", "CAST(sum(n) FILTER (WHERE n > 50) AS BIGINT) AS sw"),
     ("cw", "COUNT(*) WHERE grp == 'a'", "count(*) FILTER (WHERE grp = 'a') AS cw"),
+    # median = selection + midpoint interpolation: order-insensitive,
+    # so the float column is safe (unlike summation-order-sensitive
+    # float sums — see cross-engine pitfalls)
+    ("md", "MEDIAN(val)", "quantile_cont(val, 0.5) AS md"),
+    # integral products sum exactly in any order; division operands are
+    # then bit-identical across engines
+    ("wa", "WEIGHTED_AVG(n, (n % 5) + 1)",
+     "sum(CAST(n AS DOUBLE) * ((n % 5) + 1)) / sum((n % 5) + 1) AS wa"),
 ]
 
 # window-form pairs for INLINESTATS: integer aggregates only — integer
