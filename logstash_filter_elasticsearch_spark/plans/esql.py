@@ -239,7 +239,7 @@ _CUSTOM_FNS = {
     "CIDR_MATCH", "TO_IP", "BUCKET",
     "MEDIAN", "VALUES", "TOP", "WEIGHTED_AVG",
     "MV_SLICE", "MV_ZIP", "MV_MEDIAN",
-    "FROM_BASE64", "SHA256", "HASH",
+    "FROM_BASE64", "SHA256", "HASH", "IP_PREFIX",
 }
 _IPV4_RE = r"^(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])){3}$"
 # ES|QL DATE_EXTRACT takes java.time ChronoField names; map the common
@@ -546,6 +546,40 @@ def _translate_call(fn: str, args: list[str]) -> str:
         lo = f"try_element_at({srt}, cast((size({args[0]}) + 1) div 2 as int))"
         hi = f"try_element_at({srt}, cast((size({args[0]}) + 2) div 2 as int))"
         return f"(({lo}) + ({hi})) / 2"
+    if fn == "IP_PREFIX":
+        # IP_PREFIX(ip, v4_len, v6_len): zero the host bits, keep the
+        # network address. v4 arithmetic form (no bitwise ops needed:
+        # num - num % 2^(32-len) == the masked network number); v6
+        # inputs (or anything else unparseable) yield NULL, matching
+        # this engine's v4-only TO_IP. Lengths must be literals.
+        arity(3)
+        try:
+            p4 = int(args[1])
+        except ValueError:
+            raise EsqlValidationError(
+                "IP_PREFIX lengths must be integer literals"
+            ) from None
+        if not 0 <= p4 <= 32:
+            raise EsqlValidationError(
+                f"IP_PREFIX v4 length must be in [0, 32], got {p4}"
+            )
+        x = args[0]
+        octet = (
+            f"try_cast(try_element_at(split({x}, '\\\\.'), {{i}}) as bigint)"
+        )
+        num = " + ".join(
+            f"({octet.format(i=i)}) * {256 ** (4 - i)}" for i in range(1, 5)
+        )
+        host = 2 ** (32 - p4)
+        masked = f"(({num}) - (({num}) % {host}))" if p4 < 32 else f"({num})"
+        bytes_out = ", ".join(
+            f"cast((({masked}) div {256 ** (3 - b)}) % 256 as string)"
+            for b in range(4)
+        )
+        return (
+            f"CASE WHEN {x} rlike '{_IPV4_RE}' "
+            f"THEN concat_ws('.', {bytes_out}) END"
+        )
     if fn == "FROM_BASE64":
         arity(1)
         return f"cast(unbase64({args[0]}) as string)"

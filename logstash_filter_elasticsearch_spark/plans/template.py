@@ -25,7 +25,9 @@ Supported query nodes: ``bool`` (must/filter/should/must_not),
 semantics: standard-analyzer approximation — lowercase + Unicode-word
 tokenize — with token overlap for ``match`` (``operator: and``
 supported) and consecutive in-order tokens for ``match_phrase``;
-``term`` stays keyword equality, as in ES), ``range``
+``term`` stays keyword equality, as in ES), ``prefix`` (un-analyzed
+leading match, pushed down as StringStartsWith), ``ids`` (terms over
+the ``_id`` envelope column), ``range``
 (gt/gte/lt/lte), ``exists``, ``wildcard`` (``*``/``?``), ``match_all``,
 and ``query_string`` with a mini-grammar (``field:value``, ``AND/OR/NOT``,
 parentheses, ``field:[a TO b]`` / ``field:>=v`` ranges, ``_exists_:f``,
@@ -133,6 +135,16 @@ class Wildcard:
 
 
 @dataclass(frozen=True)
+class Prefix:
+    """``prefix`` query: un-analyzed leading-string match. Compiles to
+    ``startswith`` — on the static path Catalyst pushes it to the scan
+    as StringStartsWith."""
+
+    field: str
+    value: Lit | EventRef
+
+
+@dataclass(frozen=True)
 class Match:
     """Analyzed full-text ``match`` / ``match_phrase``.
 
@@ -172,6 +184,8 @@ def _has_ref(node) -> bool:
         return node.value.has_ref
     if isinstance(node, Match):
         return node.query.has_ref
+    if isinstance(node, Prefix):
+        return node.value.has_ref
     if isinstance(node, Terms):
         return any(v.has_ref for v in node.values)
     if isinstance(node, Range):
@@ -204,6 +218,8 @@ def to_column(node, res: Callable[[str], Column]) -> Column:
         return F.lit(True)
     if isinstance(node, Term):
         return res(node.field) == node.value.expr()
+    if isinstance(node, Prefix):
+        return F.startswith(res(node.field), node.value.expr())
     if isinstance(node, Match):
         ftoks = _analyze(res(node.field))
         qtoks = _analyze(node.query.expr())
@@ -315,6 +331,14 @@ def _parse_query(node: dict):
         if isinstance(v, dict):
             v = v["value"]
         return Wildcard(f, _val(v))
+    if kind == "prefix":
+        f, v = _single(body)
+        if isinstance(v, dict):
+            v = v["value"]
+        return Prefix(f, _val(v))
+    if kind == "ids":
+        vals = body["values"] if isinstance(body, dict) else body
+        return Terms("_id", tuple(_val(v) for v in vals))
     if kind == "query_string":
         q = body["query"] if isinstance(body, dict) else body
         default_op = (body.get("default_operator", "OR") if isinstance(body, dict) else "OR")

@@ -1100,3 +1100,28 @@ def test_base64_and_hash_functions(spark):
     assert out["bl"] == 5
     with pytest.raises(EsqlValidationError, match="HASH algorithm"):
         run_esql(spark, "FROM t | EVAL x = HASH('crc32', s)", tables={"t": df})
+
+
+def test_ip_prefix(spark):
+    df = spark.createDataFrame(
+        [("192.168.37.200",), ("10.255.1.2",), ("not-an-ip",),
+         ("2001:db8::1",), (None,)],
+        "ip string",
+    )
+    out = run_esql(
+        spark,
+        "FROM t | EVAL p24 = IP_PREFIX(ip, 24, 64), "
+        "p12 = IP_PREFIX(ip, 12, 64), p32 = IP_PREFIX(ip, 32, 64), "
+        "p0 = IP_PREFIX(ip, 0, 64) | SORT ip NULLS LAST",
+        tables={"t": df},
+    ).collect()
+    by_ip = {r["ip"]: r for r in out}
+    assert by_ip["192.168.37.200"]["p24"] == "192.168.37.0"
+    assert by_ip["192.168.37.200"]["p32"] == "192.168.37.200"
+    assert by_ip["192.168.37.200"]["p0"] == "0.0.0.0"
+    assert by_ip["10.255.1.2"]["p12"] == "10.240.0.0"
+    assert by_ip["not-an-ip"]["p24"] is None
+    assert by_ip["2001:db8::1"]["p24"] is None  # v4-only engine, NULL
+    with pytest.raises(EsqlValidationError, match="IP_PREFIX v4 length"):
+        run_esql(spark, "FROM t | EVAL x = IP_PREFIX(ip, 40, 64)",
+                 tables={"t": df})

@@ -453,3 +453,38 @@ def test_match_with_event_ref_classifies_theta(spark):
     static, join_pairs, theta = classify(t)
     assert static == [] and join_pairs == []
     assert len(theta) == 1 and isinstance(theta[0], Match)
+
+
+def test_prefix_and_ids_nodes(spark):
+    """prefix = un-analyzed leading match (pushed as StringStartsWith on
+    the static path); ids = terms over the _id envelope column."""
+    from logstash_filter_elasticsearch_spark.plans.template import (
+        Prefix,
+        to_column,
+    )
+
+    df = spark.createDataFrame(
+        [("k1", "alpha-1"), ("k2", "alphabet"), ("k3", "beta-2")],
+        "_id string, name string",
+    )
+    t = compile_template({"query": {"prefix": {"name": "alpha"}}})
+    node = t.conjuncts()[0]
+    assert isinstance(node, Prefix)
+    got = sorted(
+        r["_id"] for r in df.filter(to_column(node, F.col)).collect()
+    )
+    assert got == ["k1", "k2"]
+    # long form + classification: ref-bearing prefix goes to theta
+    t = compile_template(
+        {"query": {"prefix": {"name": {"value": "%{[stem]}"}}}}
+    )
+    static, join_pairs, theta = classify(t)
+    assert join_pairs == [] and len(theta) == 1
+
+    t = compile_template({"query": {"ids": {"values": ["k1", "k3"]}}})
+    node = t.conjuncts()[0]
+    assert node == Terms("_id", (Lit("k1"), Lit("k3")))
+    got = sorted(
+        r["_id"] for r in df.filter(to_column(node, F.col)).collect()
+    )
+    assert got == ["k1", "k3"]
