@@ -544,6 +544,30 @@ def q_esql_grok(spark, sf_dir):
     )
 
 
+def q_esql_stats_extended(spark, sf_dir):
+    """Round-4 aggregate breadth: MEDIAN (exact interpolated
+    percentile), VALUES (distinct ascending), TOP(k, desc),
+    WEIGHTED_AVG — over integral cents (FLOOR-based half-up on both
+    engines; integer sums are exact in any order, selection aggs are
+    order-free). STD_DEV is deliberately absent: population stddev is
+    float-summation-order-sensitive cross-engine; it is pinned by
+    pytest instead."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    return run_esql(
+        spark,
+        "FROM events | WHERE event_type == 'purchase' "
+        "| EVAL cents = TO_LONG(FLOOR(value * 100 + 0.5)), "
+        "w = event_id % 3 + 1 "
+        "| STATS med = MEDIAN(cents), wa = WEIGHTED_AVG(cents, w), "
+        "top3 = TOP(cents, 3, 'desc'), nvals = COUNT_DISTINCT(cents) "
+        "BY user_id "
+        "| EVAL t1 = MV_FIRST(top3), t2 = MV_FIRST(MV_SLICE(top3, 1)), "
+        "t3 = MV_FIRST(MV_SLICE(top3, 2)) "
+        "| KEEP user_id, med, wa, t1, t2, t3, nvals | SORT user_id",
+        tables=tables,
+    )
+
+
 def q_esql_grok_logline(spark, sf_dir):
     """GROK with the first-reach logstash patterns (%{IP}, %{URIPATH},
     %{LOGLEVEL}) over a synthesized access-log line; the oracle
@@ -1192,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_analyzed": q_match_analyzed,
         "sort_missing_values": q_sort_missing_values,
         "esql_grok_logline": q_esql_grok_logline,
+        "esql_stats_extended": q_esql_stats_extended,
         "esql_change_point": q_esql_change_point,  # input-size guard added
         "esql_bucket": q_esql_bucket,  # BUCKET emission now try_divide
         # -- enrich comparator default changed (missing:_last) in r4;
@@ -1648,6 +1673,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(regexp_extract(props, '[+-]?\d+') AS bigint) AS k
             FROM events ORDER BY event_id
+        """,
+        "esql_stats_extended": """
+            -- integral cents (floor-based half-up, same IEEE sequence
+            -- both engines); MEDIAN = interpolated quantile (selection,
+            -- order-free); TOP = ordered list slice; WEIGHTED_AVG =
+            -- exact integer-product sums then one division
+            WITH p AS (
+              SELECT user_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                     event_id % 3 + 1 AS w
+              FROM events WHERE event_type = 'purchase')
+            SELECT user_id,
+                   quantile_cont(cents, 0.5) AS med,
+                   sum(CAST(cents AS DOUBLE) * w) / sum(w) AS wa,
+                   list(cents ORDER BY cents DESC)[1] AS t1,
+                   list(cents ORDER BY cents DESC)[2] AS t2,
+                   list(cents ORDER BY cents DESC)[3] AS t3,
+                   count(DISTINCT cents) AS nvals
+            FROM p GROUP BY user_id ORDER BY user_id
         """,
         "esql_grok_logline": """
             -- the line is built from source columns, so the oracle
