@@ -1568,35 +1568,97 @@ def _split_input_pattern(body: str) -> tuple[str, str]:
 
 
 def _apply_dissect(df: DataFrame, body: str) -> DataFrame:
-    """DISSECT input "%{a}/%{b} %{c}": literal-delimited extraction.
+    """DISSECT input "%{a}/%{b} %{c}" [APPEND_SEPARATOR="s"]:
+    literal-delimited extraction with the dissect modifier set.
 
     Compiled to ONE anchored regex with a group per key (non-greedy
     between the literal separators, greedy at the end — dissect
     semantics). Spark's regexp_extract is run once per key; the match
     is cheap because the pattern is literal-anchored.
-    Skip modifiers (``%{}``) are supported; append/reference modifiers
-    are not.
+
+    Modifiers: ``%{}`` / ``%{?name}`` skip (named skips are matched
+    but not emitted); ``%{key->}`` right padding (the following
+    delimiter may repeat); ``%{+key}`` append — every capture of the
+    key concatenates in pattern order, joined by APPEND_SEPARATOR
+    (default empty, as in ES|QL DISSECT).
     """
-    input_col, pattern = _split_input_pattern(body)
-    keys: list[str] = []
+    input_col, pattern = _split_input_pattern_options(body)
+    append_sep = ""
+    if isinstance(pattern, tuple):
+        pattern, append_sep = pattern
+    # key -> list of group indexes (append keys capture several)
+    groups: dict[str, list[int]] = {}
+    order: list[str] = []
     regex_parts: list[str] = []
     pos = 0
-    for m in re.finditer(r"%\{([^}]*)\}", pattern):
+    gi = 0
+    matches = list(re.finditer(r"%\{([^}]*)\}", pattern))
+    for k, m in enumerate(matches):
         regex_parts.append(re.escape(pattern[pos : m.start()]))
-        name = m.group(1).lstrip("?+")
-        if name:
-            keys.append(name)
-            regex_parts.append("(.*?)" if m.end() < len(pattern) else "(.*)")
-        else:  # skip field %{}
-            regex_parts.append(".*?" if m.end() < len(pattern) else ".*")
+        name = m.group(1)
+        pad = name.endswith("->")
+        if pad:
+            name = name[:-2]
+        last = m.end() == len(pattern)
+        if not name or name.startswith("?"):
+            regex_parts.append(".*" if last else ".*?")
+        else:
+            if name.startswith("+"):
+                name = name[1:]
+            elif name in groups:
+                raise EsqlValidationError(
+                    f"duplicate dissect key %{{{name}}} (use %{{+{name}}} "
+                    f"to append)"
+                )
+            gi += 1
+            groups.setdefault(name, []).append(gi)
+            if name not in order:
+                order.append(name)
+            regex_parts.append("(.*)" if last else "(.*?)")
+        if pad and not last:
+            # right padding: the next literal separator may repeat
+            nxt_end = (
+                matches[k + 1].start() if k + 1 < len(matches) else len(pattern)
+            )
+            sep = pattern[m.end() : nxt_end]
+            if sep:
+                regex_parts.append(f"(?:{re.escape(sep)})+")
+                pos = nxt_end
+                continue
         pos = m.end()
     regex_parts.append(re.escape(pattern[pos:]))
     rx = "^" + "".join(regex_parts) + "$"
-    for i, key in enumerate(keys, start=1):
-        df = df.withColumn(
-            key, F.nullif(F.regexp_extract(F.col(input_col), rx, i), F.lit(""))
-        )
+    for key in order:
+        idxs = groups[key]
+        if len(idxs) == 1:
+            val = F.regexp_extract(F.col(input_col), rx, idxs[0])
+        else:
+            val = F.concat_ws(
+                append_sep,
+                *[F.regexp_extract(F.col(input_col), rx, i) for i in idxs],
+            )
+        df = df.withColumn(key, F.nullif(val, F.lit("")))
     return df
+
+
+def _split_input_pattern_options(body: str) -> tuple[str, tuple[str, str] | str]:
+    """DISSECT's extended form: <input> "pattern"
+    [APPEND_SEPARATOR="s"]. Returns (input, pattern) or
+    (input, (pattern, sep))."""
+    m = re.match(
+        r"^(\S+)\s+\"((?:[^\"\\]|\\.)*)\""
+        r"(?:\s+APPEND_SEPARATOR\s*=\s*\"((?:[^\"\\]|\\.)*)\")?\s*$",
+        body,
+        re.S | re.I,
+    )
+    if not m:
+        raise EsqlValidationError(
+            f"expected: <input_column> \"pattern\" "
+            f"[APPEND_SEPARATOR=\"s\"], got {body!r}"
+        )
+    if m.group(3) is not None:
+        return m.group(1), (m.group(2), m.group(3))
+    return m.group(1), m.group(2)
 
 
 # grok base patterns: the subset exercised by logstash-style pipelines

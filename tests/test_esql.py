@@ -1125,3 +1125,39 @@ def test_ip_prefix(spark):
     with pytest.raises(EsqlValidationError, match="IP_PREFIX v4 length"):
         run_esql(spark, "FROM t | EVAL x = IP_PREFIX(ip, 40, 64)",
                  tables={"t": df})
+
+
+def test_dissect_modifiers(spark):
+    """Dissect modifier set: %{?name} named skip, %{key->} right
+    padding, %{+key} append with APPEND_SEPARATOR."""
+    df = spark.createDataFrame(
+        [("2024-03-05 - - WARN   service-a hello",)], "line string"
+    )
+    out = run_esql(
+        spark,
+        'FROM t | DISSECT line "%{d} %{?sep} %{?sep2} %{lvl->} %{svc} %{msg}"',
+        tables={"t": df},
+    ).collect()[0]
+    assert out["d"] == "2024-03-05"
+    assert out["lvl"] == "WARN" and out["svc"] == "service-a"
+    assert out["msg"] == "hello"
+    assert "sep" not in out.asDict() and "?sep" not in out.asDict()
+
+    df2 = spark.createDataFrame([("john smith x",)], "s string")
+    out2 = run_esql(
+        spark,
+        'FROM t | DISSECT s "%{+name} %{+name} %{rest}" '
+        'APPEND_SEPARATOR=" "',
+        tables={"t": df2},
+    ).collect()[0]
+    assert out2["name"] == "john smith" and out2["rest"] == "x"
+    # default separator is empty
+    out3 = run_esql(
+        spark, 'FROM t | DISSECT s "%{+name} %{+name} %{rest}"',
+        tables={"t": df2},
+    ).collect()[0]
+    assert out3["name"] == "johnsmith"
+    # duplicate bare key is an error, not a silent overwrite
+    with pytest.raises(EsqlValidationError, match="duplicate dissect key"):
+        run_esql(spark, 'FROM t | DISSECT s "%{a} %{a} %{b}"',
+                 tables={"t": df2})
