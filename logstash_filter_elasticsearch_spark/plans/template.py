@@ -26,7 +26,8 @@ semantics: standard-analyzer approximation — lowercase + Unicode-word
 tokenize — with token overlap for ``match`` (``operator: and``
 supported) and consecutive in-order tokens for ``match_phrase``;
 ``term`` stays keyword equality, as in ES), ``prefix`` (un-analyzed
-leading match, pushed down as StringStartsWith), ``ids`` (terms over
+leading match, pushed down as StringStartsWith), ``regexp``
+(anchored full-value match, as ES), ``match_phrase_prefix``, ``ids`` (terms over
 the ``_id`` envelope column), ``range``
 (gt/gte/lt/lte), ``exists``, ``wildcard`` (``*``/``?``), ``match_all``,
 and ``query_string`` with a mini-grammar (``field:value``, ``AND/OR/NOT``,
@@ -135,6 +136,16 @@ class Wildcard:
 
 
 @dataclass(frozen=True)
+class Regexp:
+    """ES ``regexp`` query: Lucene regex matched against the ENTIRE
+    field value (implicitly anchored, unlike ES query_string regex or
+    Spark rlike) — compiled to rlike with explicit ^...$ anchors."""
+
+    field: str
+    pattern: Lit | EventRef
+
+
+@dataclass(frozen=True)
 class Prefix:
     """``prefix`` query: un-analyzed leading-string match. Compiles to
     ``startswith`` — on the static path Catalyst pushes it to the scan
@@ -163,6 +174,7 @@ class Match:
     query: Lit | EventRef
     operator: str = "or"
     phrase: bool = False
+    phrase_prefix: bool = False
 
 
 @dataclass(frozen=True)
@@ -186,6 +198,8 @@ def _has_ref(node) -> bool:
         return node.query.has_ref
     if isinstance(node, Prefix):
         return node.value.has_ref
+    if isinstance(node, Regexp):
+        return node.pattern.has_ref
     if isinstance(node, Terms):
         return any(v.has_ref for v in node.values)
     if isinstance(node, Range):
@@ -220,16 +234,27 @@ def to_column(node, res: Callable[[str], Column]) -> Column:
         return res(node.field) == node.value.expr()
     if isinstance(node, Prefix):
         return F.startswith(res(node.field), node.value.expr())
+    if isinstance(node, Regexp):
+        # anchor the whole value, as ES regexp does
+        return res(node.field).rlike(
+            F.concat(F.lit("^(?:"), node.pattern.expr(), F.lit(")$"))
+        ) if node.pattern.has_ref else res(node.field).rlike(
+            f"^(?:{node.pattern.value})$"
+        )
     if isinstance(node, Match):
         ftoks = _analyze(res(node.field))
         qtoks = _analyze(node.query.expr())
         nonempty = F.size(qtoks) > 0
-        if node.phrase:
+        if node.phrase or node.phrase_prefix:
             # consecutive-in-order containment via sentinel-spaced
             # token strings: ' a b c ' contains ' b c ' iff the query
-            # tokens appear adjacent and in order
+            # tokens appear adjacent and in order. phrase_prefix drops
+            # the trailing sentinel so the LAST query token matches any
+            # field token it prefixes (ES match_phrase_prefix)
             fs = F.concat(F.lit(" "), F.array_join(ftoks, " "), F.lit(" "))
-            qs = F.concat(F.lit(" "), F.array_join(qtoks, " "), F.lit(" "))
+            qs = F.concat(F.lit(" "), F.array_join(qtoks, " "))
+            if not node.phrase_prefix:
+                qs = F.concat(qs, F.lit(" "))
             return nonempty & F.contains(fs, qs)
         if node.operator == "and":
             return nonempty & (F.size(F.array_except(qtoks, ftoks)) == 0)
@@ -302,7 +327,7 @@ def _parse_query(node: dict):
         if isinstance(v, dict):  # {"f": {"value": v}} long form
             v = v.get("value", v.get("query"))
         return Term(f, _val(v))
-    if kind in ("match", "match_phrase"):
+    if kind in ("match", "match_phrase", "match_phrase_prefix"):
         f, v = _single(body)
         operator = "or"
         if isinstance(v, dict):  # {"f": {"query": q, "operator": "and"}}
@@ -313,7 +338,9 @@ def _parse_query(node: dict):
                 )
             v = v.get("query", v.get("value"))
         return Match(
-            f, _val(v), operator=operator, phrase=kind == "match_phrase"
+            f, _val(v), operator=operator,
+            phrase=kind == "match_phrase",
+            phrase_prefix=kind == "match_phrase_prefix",
         )
     if kind == "terms":
         f, vs = _single(body)
@@ -336,6 +363,11 @@ def _parse_query(node: dict):
         if isinstance(v, dict):
             v = v["value"]
         return Prefix(f, _val(v))
+    if kind == "regexp":
+        f, v = _single(body)
+        if isinstance(v, dict):
+            v = v["value"]
+        return Regexp(f, _val(v))
     if kind == "ids":
         vals = body["values"] if isinstance(body, dict) else body
         return Terms("_id", tuple(_val(v) for v in vals))

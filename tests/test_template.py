@@ -488,3 +488,47 @@ def test_prefix_and_ids_nodes(spark):
         r["_id"] for r in df.filter(to_column(node, F.col)).collect()
     )
     assert got == ["k1", "k3"]
+
+
+def test_regexp_and_match_phrase_prefix(spark):
+    """regexp = anchored full-value match (ES semantics, unlike bare
+    rlike); match_phrase_prefix = phrase adjacency with the last query
+    token matching as a prefix."""
+    from logstash_filter_elasticsearch_spark.plans.template import (
+        Match,
+        Regexp,
+        to_column,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "srv-001", "quick brown foxes run"),
+         (2, "srv-1a", "brown fox"),
+         (3, "xsrv-001", "the foxtrot dance")],
+        "id long, host string, txt string",
+    )
+
+    def ids(node):
+        return sorted(
+            r["id"] for r in df.filter(to_column(node, F.col)).collect()
+        )
+
+    t = compile_template({"query": {"regexp": {"host": "srv-[0-9]+"}}})
+    assert isinstance(t.conjuncts()[0], Regexp)
+    assert ids(t.conjuncts()[0]) == [1]  # full anchor: no srv-1a, no xsrv
+
+    t = compile_template(
+        {"query": {"regexp": {"host": {"value": ".*srv-00[12]"}}}}
+    )
+    assert ids(t.conjuncts()[0]) == [1, 3]
+
+    t = compile_template(
+        {"query": {"match_phrase_prefix": {"txt": "brown fox"}}}
+    )
+    n = t.conjuncts()[0]
+    assert isinstance(n, Match) and n.phrase_prefix
+    # 'brown foxes' (prefix hit) and 'brown fox' (exact) match;
+    # 'the foxtrot' lacks the adjacent 'brown' so it does not
+    assert ids(n) == [1, 2]
+    # plain match_phrase stays exact-token: no 'foxes'
+    t = compile_template({"query": {"match_phrase": {"txt": "brown fox"}}})
+    assert ids(t.conjuncts()[0]) == [2]
