@@ -101,3 +101,48 @@ def test_template_static_clauses_push_down(spark, parquet_events):
     plan = _executed(out)
     assert "EqualTo(event_type,t1)" in plan  # static clause pushed to scan
     assert "BroadcastHashJoin" in plan
+
+
+def test_prefix_node_pushes_startswith_to_scan(spark, parquet_events):
+    """The prefix template node must reach the parquet reader as
+    StringStartsWith — leading-match selectivity applies at the scan."""
+    from logstash_filter_elasticsearch_spark.plans.template import (
+        compile_template,
+        to_column,
+    )
+
+    t = compile_template({"query": {"prefix": {"event_type": "t1"}}})
+    df = (
+        spark.read.parquet(parquet_events)
+        .filter(to_column(t.conjuncts()[0], F.col))
+        .select("event_id")
+    )
+    plan = _executed(df)
+    assert "StringStartsWith(event_type,t1)" in plan
+
+
+def test_analyzed_match_and_hash_sample_stay_jvm_side(spark, parquet_events):
+    """match_analyzed tokenization and the deterministic HASH sample
+    predicate are pure codegen expressions — zero Python eval nodes,
+    and the sample filter sits before any exchange."""
+    from logstash_filter_elasticsearch_spark.plans.esql import run_esql
+    from logstash_filter_elasticsearch_spark.plans.template import (
+        compile_template,
+        to_column,
+    )
+
+    events = spark.read.parquet(parquet_events)
+    t = compile_template({"query": {"match": {"props": "p1 p2"}}})
+    plan = _executed(events.filter(to_column(t.conjuncts()[0], F.col)))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    sampled = run_esql(
+        spark,
+        "FROM t | SAMPLE 0.25 HASH(event_id, 7) | STATS c = COUNT(*)",
+        tables={"t": events},
+    )
+    plan = _executed(sampled)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the sample filter executes BELOW the aggregate's exchange (plan
+    # strings print root-first, so the child Filter appears after it)
+    assert plan.index("Exchange") < plan.index("Filter")
