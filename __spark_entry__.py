@@ -587,6 +587,39 @@ def q_esql_grok_logline(spark, sf_dir):
     )
 
 
+def q_esql_dissect_modifiers(spark, sf_dir):
+    """Dissect modifier set over a synthesized line: %{+key} append
+    with APPEND_SEPARATOR, %{?name} named skip, %{key->} right
+    padding. The line is built from source columns, so the oracle
+    states the fields directly."""
+    tables = {"documents": _t(spark, sf_dir, "documents")}
+    return run_esql(
+        spark,
+        "FROM documents "
+        "| EVAL line = CONCAT(source, ' ', lang, ' - ', "
+        "TO_STRING(doc_id), '   end') "
+        '| DISSECT line "%{+sid} %{+sid} %{?dash} %{id->} %{tail}" '
+        'APPEND_SEPARATOR="_" '
+        "| KEEP doc_id, sid, id, tail | SORT doc_id",
+        tables=tables,
+    )
+
+
+def q_esql_ip_prefix(spark, sf_dir):
+    """IP_PREFIX over synthesized v4 addresses; the oracle replays the
+    same num - num % 2^(32-len) arithmetic in SQL."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    return run_esql(
+        spark,
+        "FROM events "
+        "| EVAL ip = CONCAT('10.', TO_STRING(user_id % 200), '.', "
+        "TO_STRING(event_id % 256), '.', TO_STRING(event_id % 250)) "
+        "| EVAL net20 = IP_PREFIX(ip, 20, 64), net28 = IP_PREFIX(ip, 28, 64) "
+        "| KEEP event_id, ip, net20, net28 | SORT event_id | LIMIT 2000",
+        tables=tables,
+    )
+
+
 def q_esql_dissect(spark, sf_dir):
     """ES|QL DISSECT: literal-delimited extraction."""
     tables = {"documents": _t(spark, sf_dir, "documents")}
@@ -1217,6 +1250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_missing_values": q_sort_missing_values,
         "esql_grok_logline": q_esql_grok_logline,
         "esql_stats_extended": q_esql_stats_extended,
+        "esql_dissect_modifiers": q_esql_dissect_modifiers,
+        "esql_ip_prefix": q_esql_ip_prefix,
         "esql_change_point": q_esql_change_point,  # input-size guard added
         "esql_bucket": q_esql_bucket,  # BUCKET emission now try_divide
         # -- enrich comparator default changed (missing:_last) in r4;
@@ -1692,6 +1727,39 @@ def oracle_sql() -> dict[str, str]:
                    list(cents ORDER BY cents DESC)[3] AS t3,
                    count(DISTINCT cents) AS nvals
             FROM p GROUP BY user_id ORDER BY user_id
+        """,
+        "esql_dissect_modifiers": """
+            -- the line is built from source columns; the oracle states
+            -- the dissected fields directly (append = source_lang,
+            -- right padding eats the repeated spaces, named skip gone)
+            SELECT doc_id, source || '_' || lang AS sid,
+                   CAST(doc_id AS VARCHAR) AS id, 'end' AS tail
+            FROM documents ORDER BY doc_id
+        """,
+        "esql_ip_prefix": """
+            -- replay the v4 prefix arithmetic: num - num % 2^(32-len)
+            WITH i AS (
+              SELECT event_id,
+                     user_id % 200 AS o2, event_id % 256 AS o3,
+                     event_id % 250 AS o4
+              FROM events),
+            n AS (
+              SELECT event_id,
+                     '10.' || o2 || '.' || o3 || '.' || o4 AS ip,
+                     167772160 + o2 * 65536 + o3 * 256 + o4 AS num
+              FROM i),
+            m AS (
+              SELECT event_id, ip,
+                     num - num % 4096 AS m20, num - num % 16 AS m28
+              FROM n)
+            SELECT event_id, ip,
+                   (m20 // 16777216 % 256) || '.' || (m20 // 65536 % 256)
+                     || '.' || (m20 // 256 % 256) || '.' || (m20 % 256)
+                     AS net20,
+                   (m28 // 16777216 % 256) || '.' || (m28 // 65536 % 256)
+                     || '.' || (m28 // 256 % 256) || '.' || (m28 % 256)
+                     AS net28
+            FROM m ORDER BY event_id LIMIT 2000
         """,
         "esql_grok_logline": """
             -- the line is built from source columns, so the oracle
