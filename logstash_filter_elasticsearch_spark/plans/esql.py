@@ -811,6 +811,16 @@ def _stats_agg_expr(item: str):
     where_at = _find_top_keyword(item, "WHERE")
     if where_at < 0:
         return _compile_expr(item)
+    # TOP/VALUES/WEIGHTED_AVG compile to expressions AROUND their
+    # aggregate (slice/sort/divide), so a FILTER clause can't attach;
+    # fail with the workaround instead of Spark's analysis error
+    head = re.match(r"\s*(TOP|VALUES|WEIGHTED_AVG|MV_\w+)\s*\(", item, re.I)
+    if head:
+        raise EsqlValidationError(
+            f"{head.group(1).upper()} does not support a per-aggregate "
+            f"WHERE; pre-filter with CASE inside the argument (e.g. "
+            f"CASE(cond, x)) or a WHERE stage instead"
+        )
     # same full translation stack as _compile_expr (LIKE patterns
     # included) — a LIKE in a per-aggregate filter must behave exactly
     # like a LIKE in a WHERE stage

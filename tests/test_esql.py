@@ -1161,3 +1161,18 @@ def test_dissect_modifiers(spark):
     with pytest.raises(EsqlValidationError, match="duplicate dissect key"):
         run_esql(spark, 'FROM t | DISSECT s "%{a} %{a} %{b}"',
                  tables={"t": df2})
+
+
+def test_composed_agg_rejects_per_agg_where(spark):
+    df = spark.createDataFrame([("a", 1)], "g string, n long")
+    with pytest.raises(EsqlValidationError, match="per-aggregate"):
+        run_esql(
+            spark, "FROM t | STATS x = TOP(n, 2, 'asc') WHERE n > 0",
+            tables={"t": df},
+        )
+    # MEDIAN compiles to a bare aggregate: FILTER attaches fine
+    r = run_esql(
+        spark, "FROM t | STATS m = MEDIAN(n) WHERE g == 'a'",
+        tables={"t": df},
+    ).collect()
+    assert r[0]["m"] == 1.0
