@@ -587,6 +587,24 @@ def q_esql_grok_logline(spark, sf_dir):
     )
 
 
+def q_esql_fuse(spark, sf_dir):
+    """FUSE (ES|QL hybrid-search fusion) over FORK branches: RRF with
+    explicit KEY BY/SCORE BY (this engine has no _id/_score envelope).
+    Each key gets <=2 contributions, and a 2-term IEEE sum is
+    order-independent, so the double fused score hashes exactly."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    return run_esql(
+        spark,
+        "FROM events "
+        "| FORK (WHERE event_type == 'purchase' "
+        "        | STATS sc = COUNT(*) BY user_id) "
+        "       (WHERE event_type == 'error' "
+        "        | STATS sc = COUNT(*) BY user_id) "
+        "| FUSE rrf KEY BY user_id SCORE BY sc",
+        tables=tables,
+    )
+
+
 def q_esql_dissect_modifiers(spark, sf_dir):
     """Dissect modifier set over a synthesized line: %{+key} append
     with APPEND_SEPARATOR, %{?name} named skip, %{key->} right
@@ -1250,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_missing_values": q_sort_missing_values,
         "esql_grok_logline": q_esql_grok_logline,
         "esql_stats_extended": q_esql_stats_extended,
+        "esql_fuse": q_esql_fuse,
         "esql_dissect_modifiers": q_esql_dissect_modifiers,
         "esql_ip_prefix": q_esql_ip_prefix,
         "esql_change_point": q_esql_change_point,  # input-size guard added
@@ -1727,6 +1746,29 @@ def oracle_sql() -> dict[str, str]:
                    list(cents ORDER BY cents DESC)[3] AS t3,
                    count(DISTINCT cents) AS nvals
             FROM p GROUP BY user_id ORDER BY user_id
+        """,
+        "esql_fuse": """
+            -- RRF replay: per-branch rank by (sc DESC, user_id ASC),
+            -- fused = sum 1/(60 + rank); <=2 contributions per key so
+            -- the double sum is order-independent
+            WITH b1 AS (
+              SELECT user_id, count(*) AS sc FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id),
+            b2 AS (
+              SELECT user_id, count(*) AS sc FROM events
+              WHERE event_type = 'error' GROUP BY user_id),
+            u AS (
+              SELECT 'f1' AS f, user_id, sc FROM b1
+              UNION ALL SELECT 'f2', user_id, sc FROM b2),
+            r AS (
+              SELECT user_id,
+                     1.0 / (60 + row_number() OVER (
+                       PARTITION BY f ORDER BY sc DESC, user_id ASC))
+                       AS contrib
+              FROM u)
+            SELECT user_id, sum(contrib) AS _fused_score
+            FROM r GROUP BY user_id
+            ORDER BY _fused_score DESC, user_id ASC
         """,
         "esql_dissect_modifiers": """
             -- the line is built from source columns; the oracle states

@@ -1424,6 +1424,8 @@ def _run_stages(
             df = _apply_change_point(df, body)
         elif cmd == "FORK":
             df = _apply_fork(spark, df, body, params, tables)
+        elif cmd == "FUSE":
+            df = _apply_fuse(df, body)
         else:
             raise EsqlValidationError(f"Unsupported ES|QL command: {cmd}")
     return df
@@ -1568,6 +1570,64 @@ def _apply_fork(
     for sub in outs[1:]:
         merged = merged.unionByName(sub, allowMissingColumns=True)
     return merged
+
+
+def _apply_fuse(df: DataFrame, body: str) -> DataFrame:
+    """FUSE [rrf|linear] KEY BY k1[, k2] SCORE BY col [WITH rank_constant=N]:
+    combine FORK branches' result sets into one ranked list — the
+    ES|QL hybrid-search fusion command, rendered Spark-first.
+
+    ES|QL FUSE keys on the ``_id``/``_index`` envelope and scores with
+    ``_score``/row position; this engine has no search envelope, so the
+    key columns and score column are explicit (the same simplification
+    as ENRICH's explicit ON). Methods:
+
+    * ``rrf`` (default): per-branch rank = dense position of the row
+      within its ``_fork`` partition ordered by score desc (key asc
+      tiebreak, deterministic); fused score = sum over branches of
+      1 / (rank_constant + rank), rank_constant default 60 — the
+      standard reciprocal-rank-fusion formula ES uses.
+    * ``linear``: fused score = sum of the branch scores.
+
+    Output: one row per key group with ``_fused_score``, sorted score
+    desc then keys asc. Runs as two window/aggregate stages partitioned
+    by ``_fork`` — no driver-side work, scales with the branch sizes.
+    """
+    from pyspark.sql.window import Window
+
+    m = re.match(
+        r"^(?:(rrf|linear)\s+)?KEY\s+BY\s+(.*?)\s+SCORE\s+BY\s+(\w+)"
+        r"(?:\s+WITH\s+rank_constant\s*=\s*(\d+))?$",
+        body.strip(),
+        re.I | re.S,
+    )
+    if not m:
+        raise EsqlValidationError(
+            "FUSE syntax: [rrf|linear] KEY BY k1[, k2...] SCORE BY col "
+            "[WITH rank_constant=N]"
+        )
+    method = (m.group(1) or "rrf").lower()
+    keys = [k.strip() for k in _split_commas(m.group(2))]
+    score, rc = m.group(3), int(m.group(4) or 60)
+    if "_fork" not in df.columns:
+        raise EsqlValidationError("FUSE must follow FORK (no _fork column)")
+    for c in keys + [score]:
+        if c not in df.columns:
+            raise EsqlValidationError(f"FUSE column {c!r} not in input")
+    if method == "rrf":
+        w = Window.partitionBy("_fork").orderBy(
+            F.col(score).desc(), *[F.col(k).asc() for k in keys]
+        )
+        contrib = F.lit(1.0) / (F.lit(rc) + F.row_number().over(w))
+    else:
+        contrib = F.col(score).cast("double")
+    fused = (
+        df.withColumn("_contrib", contrib)
+        .groupBy(*keys)
+        .agg(F.sum("_contrib").alias("_fused_score"))
+        .orderBy(F.col("_fused_score").desc(), *[F.col(k).asc() for k in keys])
+    )
+    return fused
 
 
 def _split_input_pattern(body: str) -> tuple[str, str]:

@@ -1176,3 +1176,46 @@ def test_composed_agg_rejects_per_agg_where(spark):
         tables={"t": df},
     ).collect()
     assert r[0]["m"] == 1.0
+
+
+def test_fuse_rrf_and_linear(spark):
+    """FUSE combines FORK branches: rrf = sum 1/(rc + per-branch rank),
+    linear = sum of scores; one row per key, score-desc order."""
+    df = spark.createDataFrame(
+        [(1, 10.0, 5.0), (2, 8.0, 9.0), (3, 6.0, 1.0)],
+        "doc long, s1 double, s2 double",
+    )
+    out = run_esql(
+        spark,
+        "FROM t | FORK (EVAL sc = s1) (EVAL sc = s2) "
+        "| FUSE rrf KEY BY doc SCORE BY sc WITH rank_constant=10",
+        tables={"t": df},
+    ).collect()
+    # branch1 ranks: doc1=1, doc2=2, doc3=3; branch2: doc2=1, doc1=2, doc3=3
+    exp = {
+        1: 1 / 11 + 1 / 12,
+        2: 1 / 12 + 1 / 11,
+        3: 1 / 13 + 1 / 13,
+    }
+    got = {r["doc"]: r["_fused_score"] for r in out}
+    for d, v in exp.items():
+        assert abs(got[d] - v) < 1e-12
+    # docs 1 and 2 tie on score -> key asc tiebreak; doc3 last
+    assert [r["doc"] for r in out] == [1, 2, 3]
+
+    lin = run_esql(
+        spark,
+        "FROM t | FORK (EVAL sc = s1) (EVAL sc = s2) "
+        "| FUSE linear KEY BY doc SCORE BY sc",
+        tables={"t": df},
+    ).collect()
+    lg = {r["doc"]: r["_fused_score"] for r in lin}
+    assert lg == {1: 15.0, 2: 17.0, 3: 7.0}
+    assert [r["doc"] for r in lin] == [2, 1, 3]
+
+    with pytest.raises(EsqlValidationError, match="must follow FORK"):
+        run_esql(spark, "FROM t | FUSE KEY BY doc SCORE BY s1",
+                 tables={"t": df})
+    with pytest.raises(EsqlValidationError, match="FUSE syntax"):
+        run_esql(spark, "FROM t | FORK (EVAL sc = s1) (EVAL sc = s2) "
+                 "| FUSE nope", tables={"t": df})
