@@ -1210,8 +1210,19 @@ def run_esql(
             name, expr = item.split("=", 1)
             cols.append(_compile_expr(expr.strip()).alias(name.strip()))
         df = spark.range(1).select(*cols)
+    elif head.upper().strip() == "SHOW INFO":
+        # SHOW INFO: one deployment-info row (ES|QL's only SHOW form).
+        # Engine version stands in for the ES build; the Spark version
+        # is the runtime the plan actually executes on.
+        from logstash_filter_elasticsearch_spark import __version__
+
+        df = spark.createDataFrame(
+            [(__version__, spark.version)], "version string, runtime string"
+        )
     else:
-        raise EsqlValidationError("ES|QL statement must start with FROM or ROW")
+        raise EsqlValidationError(
+            "ES|QL statement must start with FROM, ROW or SHOW INFO"
+        )
 
     return _run_stages(spark, df, stages[1:], params, tables)
 

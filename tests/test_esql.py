@@ -1219,3 +1219,13 @@ def test_fuse_rrf_and_linear(spark):
     with pytest.raises(EsqlValidationError, match="FUSE syntax"):
         run_esql(spark, "FROM t | FORK (EVAL sc = s1) (EVAL sc = s2) "
                  "| FUSE nope", tables={"t": df})
+
+
+def test_show_info(spark):
+    r = run_esql(spark, "SHOW INFO", tables={}).collect()
+    assert len(r) == 1 and r[0]["version"] and r[0]["runtime"]
+    # pipes compose after SHOW INFO, as in ES|QL
+    out = run_esql(spark, "SHOW INFO | KEEP version", tables={}).collect()
+    assert out[0].asDict().keys() == {"version"}
+    with pytest.raises(EsqlValidationError, match="must start with"):
+        run_esql(spark, "SHOW FUNCTIONS", tables={})
