@@ -55,7 +55,7 @@ def _get(col: Column, path: str) -> Column:
     return reduce(lambda c, p: c[p], field_ref_to_path(path).split("."), col)
 
 
-def hits_comparator(sort_spec: list[tuple]):
+def hits_comparator(sort_spec: list[tuple], field_types: dict | None = None):
     """array_sort comparator over hit structs from an ES-style sort spec
     (elasticsearch.rb:43-44, docs/index.asciidoc:510-516).
 
@@ -65,6 +65,13 @@ def hits_comparator(sort_spec: list[tuple]):
     whatever the direction), ``"_first"`` (the opposite), or any other
     value, which is substituted for missing before comparing (ES custom
     missing). Two-tuples get the ``_last`` default.
+
+    ``field_types`` optionally maps a sort path to its Spark DataType
+    (derived from the lookup snapshot's schema): a custom missing
+    literal is cast to the FIELD's type before the coalesce, so e.g. a
+    string ``"0"`` missing on a numeric field still compares
+    numerically instead of silently coercing the whole comparison to a
+    lexicographic string one.
     """
 
     def cmp(left: Column, right: Column) -> Column:
@@ -88,8 +95,10 @@ def hits_comparator(sort_spec: list[tuple]):
                     .otherwise(expr)
                 )
             else:
-                lv2 = F.coalesce(lv, F.lit(missing))
-                rv2 = F.coalesce(rv, F.lit(missing))
+                dt = (field_types or {}).get(path)
+                miss = F.lit(missing).cast(dt) if dt is not None else F.lit(missing)
+                lv2 = F.coalesce(lv, miss)
+                rv2 = F.coalesce(rv, miss)
                 expr = (
                     F.when(lv2 < rv2, F.lit(-sign))
                     .when(lv2 > rv2, F.lit(sign))
@@ -155,7 +164,7 @@ class Enricher:
     def _sort_comparator(self):
         """array_sort comparator from the sort spec (default @timestamp:desc,
         elasticsearch.rb:43-44; docs/index.asciidoc:510-516)."""
-        return hits_comparator(self._sort)
+        return hits_comparator(self._sort, getattr(self, "_sort_types", None))
 
     def prepare_lookup(self, lookup: DataFrame) -> DataFrame:
         """Pre-aggregate the snapshot to ONE row per join key.
@@ -181,6 +190,21 @@ class Enricher:
             for s in spec.sort
             if field_ref_to_path(s[0]).split(".")[0] in present
         ]
+        # resolve each sort path's type from the snapshot schema so a
+        # custom `missing` literal is cast to the FIELD's type (not the
+        # literal's) — a string missing on a numeric field must not
+        # coerce the comparison to lexicographic
+        self._sort_types = {}
+        for s in self._sort:
+            node = None
+            for i, part in enumerate(field_ref_to_path(s[0]).split(".")):
+                try:
+                    node = (lookup.schema if i == 0 else node)[part].dataType
+                except Exception:
+                    node = None
+                    break
+            if node is not None:
+                self._sort_types[s[0]] = node
 
         aggs = [F.count(F.lit(1)).alias("_total_hits")]  # dsl_executor.rb:48
         if self._has_hits:

@@ -94,9 +94,14 @@ def _gc_unreferenced_snapshots(
             # would look identical while still mid-write. Apply the
             # same grace window, keyed on the dir's own mtime (it
             # moves while files land in it); unreadable mtime counts
-            # as fresh, never as reclaimable.
+            # as fresh, never as reclaimable. Object stores (S3A fake
+            # directory markers) commonly report mtime 0 WITHOUT
+            # raising — a non-positive mtime would make dir_age huge
+            # and reclaim a mid-write dir instantly, so it counts as
+            # fresh too.
             try:
-                dir_age = now - fs.mtime(os.path.join(snaps, name))
+                dir_mtime = fs.mtime(os.path.join(snaps, name))
+                dir_age = (now - dir_mtime) if dir_mtime > 0 else 0.0
             except Exception:
                 dir_age = 0.0
             reclaimable = dir_age > grace_s

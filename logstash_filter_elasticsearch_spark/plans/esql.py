@@ -23,6 +23,7 @@ dotted-key→nested struct, parent-shadows-child suppression, and the
 
 from __future__ import annotations
 
+import contextvars
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,23 +50,29 @@ _PLACEHOLDER = re.compile(r"\?([A-Za-z_][A-Za-z0-9_]*)")
 # The div rewrite is a string pass with no type information, so the
 # executor lends it the CURRENT stage DataFrame: each `/` operand is
 # type-resolved with a driver-side Catalyst analysis (no job), and when
-# BOTH sides are integral the emission becomes
-# ``cast(try_divide(l, r) as bigint)`` — truncation toward zero, NULL on
-# zero divisor, exactly ES|QL's result (widened to long). Operands whose
-# analysis fails (e.g. a forward reference) conservatively fall back to
-# the plain double-returning try_divide.
+# BOTH sides are integral the emission becomes a zero-guarded ``div``
+# — exact 64-bit truncation toward zero, NULL on zero divisor, exactly
+# ES|QL's result (widened to long) even for operands beyond 2^53 where
+# a double round-trip would round. Operands whose analysis fails (e.g.
+# a forward reference) conservatively fall back to the plain
+# double-returning try_divide.
+#
+# The probe (DataFrame, cache) pair is a ContextVar, NOT module
+# globals: concurrent run_esql calls from multiple driver threads each
+# see their own probe state, so one pipeline's schema can never type
+# another pipeline's divisions.
 _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
 _INT_LITERAL = re.compile(r"[+-]?\d+")
 _FLOAT_LITERAL = re.compile(r"[+-]?(?:\d*\.\d+|\d+\.)(?:[eE][+-]?\d+)?|[+-]?\d+[eE][+-]?\d+")
-_probe_df: DataFrame | None = None
-_probe_cache: dict[str, bool] = {}
+_probe_state: contextvars.ContextVar[
+    tuple[DataFrame | None, dict[str, bool]]
+] = contextvars.ContextVar("esql_int_div_probe", default=(None, {}))
 
 
 def _set_probe_df(df: DataFrame | None) -> None:
-    global _probe_df
-    if df is not _probe_df:
-        _probe_df = df
-        _probe_cache.clear()
+    cur_df, _cache = _probe_state.get()
+    if df is not cur_df:
+        _probe_state.set((df, {}))
 
 
 def _operand_is_integral(expr_s: str) -> bool:
@@ -74,17 +81,18 @@ def _operand_is_integral(expr_s: str) -> bool:
         return True
     if _FLOAT_LITERAL.fullmatch(s):
         return False
-    if _probe_df is None:
+    probe_df, cache = _probe_state.get()
+    if probe_df is None:
         return False
-    hit = _probe_cache.get(s)
+    hit = cache.get(s)
     if hit is not None:
         return hit
     try:
-        dt = _probe_df.select(F.expr(s).alias("__t")).schema[0].dataType
+        dt = probe_df.select(F.expr(s).alias("__t")).schema[0].dataType
         res = dt.simpleString() in _INTEGRAL_TYPES
     except Exception:
         res = False
-    _probe_cache[s] = res
+    cache[s] = res
     return res
 
 
@@ -555,6 +563,7 @@ def _translate_call(fn: str, args: list[str]) -> str:
         arity(3)
         try:
             p4 = int(args[1])
+            p6 = int(args[2])
         except ValueError:
             raise EsqlValidationError(
                 "IP_PREFIX lengths must be integer literals"
@@ -562,6 +571,12 @@ def _translate_call(fn: str, args: list[str]) -> str:
         if not 0 <= p4 <= 32:
             raise EsqlValidationError(
                 f"IP_PREFIX v4 length must be in [0, 32], got {p4}"
+            )
+        # v6 inputs all yield NULL here (v4-only TO_IP), but the length
+        # still validates at compile time so malformed calls fail fast
+        if not 0 <= p6 <= 128:
+            raise EsqlValidationError(
+                f"IP_PREFIX v6 length must be in [0, 128], got {p6}"
             )
         x = args[0]
         octet = (
@@ -1009,9 +1024,17 @@ def _rewrite_div_mod(s: str) -> str:
             lhs_s, rhs_s = mul_acc.strip(), rhs.strip()
             if _operand_is_integral(lhs_s) and _operand_is_integral(rhs_s):
                 # ES|QL truncating integer division (see probe note at
-                # module top); chained int divisions stay integral
-                # because this cast itself probes integral next time
-                mul_acc = f"cast(try_divide({lhs_s}, {rhs_s}) as bigint)"
+                # module top). `div` is exact 64-bit truncate-toward-
+                # zero (a try_divide round-trip through double rounds
+                # quotients of operands >= 2^53); the CASE guard keeps
+                # zero divisors NULL instead of an ANSI error, and CASE
+                # only evaluates the ELSE branch when the guard is
+                # false, so div never sees a 0. Chained int divisions
+                # stay integral because this CASE probes bigint.
+                mul_acc = (
+                    f"(CASE WHEN ({rhs_s}) = 0 THEN NULL "
+                    f"ELSE ({lhs_s}) div ({rhs_s}) END)"
+                )
             else:
                 mul_acc = f"try_divide({lhs_s}, {rhs_s})"
         elif op == "%":
@@ -1475,9 +1498,14 @@ def _apply_change_point(df: DataFrame, body: str) -> DataFrame:
     )
     # Enforce the single-series contract instead of trusting it: an
     # unfiltered call would pull the whole table through one partition.
-    # limit(N+1).count() is a cheap probe — Spark stops scanning at the
-    # limit, so the cost is bounded regardless of input size.
-    probe = df.limit(CHANGE_POINT_MAX_ROWS + 1).count()
+    # The guard and the scoring share ONE upstream pass: limit(N+1)
+    # stops the scan at the cap, and localCheckpoint materializes those
+    # rows (≤ N+1, bounded memory) so neither the count probe nor the
+    # windowed scoring re-executes the upstream pipe. When the probe
+    # passes, the checkpointed frame IS the full input (no truncation
+    # happened), so scoring runs on it directly.
+    df = df.limit(CHANGE_POINT_MAX_ROWS + 1).localCheckpoint()
+    probe = df.count()
     if probe > CHANGE_POINT_MAX_ROWS:
         raise EsqlValidationError(
             f"CHANGE_POINT input exceeds {CHANGE_POINT_MAX_ROWS} rows: "

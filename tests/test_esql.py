@@ -413,7 +413,7 @@ def test_row_source(spark):
     r = out[0]
     assert (r["a"], r["b"], r["d"]) == (3, "HI", 30)
 
-    with pytest.raises(EsqlValidationError, match="FROM or ROW"):
+    with pytest.raises(EsqlValidationError, match="must start with FROM"):
         run_esql(spark, "WHERE x == 1", tables={})
 
 
