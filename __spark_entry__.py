@@ -549,9 +549,8 @@ def q_esql_stats_extended(spark, sf_dir):
     percentile), VALUES (distinct ascending), TOP(k, desc),
     WEIGHTED_AVG — over integral cents (FLOOR-based half-up on both
     engines; integer sums are exact in any order, selection aggs are
-    order-free). STD_DEV is deliberately absent: population stddev is
-    float-summation-order-sensitive cross-engine; it is pinned by
-    pytest instead."""
+    order-free). STD_DEV is certified separately (`esql_stats_stddev`)
+    now that the engine emits the order-independent closed form."""
     tables = {"events": _t(spark, sf_dir, "events")}
     return run_esql(
         spark,
@@ -564,6 +563,25 @@ def q_esql_stats_extended(spark, sf_dir):
         "| EVAL t1 = MV_FIRST(top3), t2 = MV_FIRST(MV_SLICE(top3, 1)), "
         "t3 = MV_FIRST(MV_SLICE(top3, 2)) "
         "| KEEP user_id, med, wa, t1, t2, t3, nvals | SORT user_id",
+        tables=tables,
+    )
+
+
+def q_esql_stats_stddev(spark, sf_dir):
+    """STD_DEV oracle certification: the engine emits ES's own
+    extended_stats closed form (sum(x²) - sum(x)²/n)/n over double
+    sums. Over integral cents every partial sum is an exact integer
+    double regardless of partition/merge order (all < 2^53 at contract
+    scale), so the final subtraction/division/sqrt is the identical
+    IEEE sequence on both engines — bit-for-bit hashable, unlike
+    Welford stddev_pop."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    return run_esql(
+        spark,
+        "FROM events | WHERE event_type == 'purchase' "
+        "| EVAL cents = TO_LONG(FLOOR(value * 100 + 0.5)) "
+        "| STATS sd = STD_DEV(cents), n = COUNT(cents) BY user_id "
+        "| SORT user_id",
         tables=tables,
     )
 
@@ -1256,25 +1274,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order matters: the driver walks entries in order and may stop
-    # before the end (r3 covered the first 50 of 65), so entries that are
-    # NEW or whose code changed this round run FIRST, then the ops whose
-    # newest driver row is oldest (r2), then the freshly-r3-certified
-    # remainder.
+    # Dict order matters: the driver walks entries in order and stops at
+    # 50 (r4 covered the first 50 of 72), so entries that are NEW or
+    # whose code changed this round run FIRST, then the 22 entries whose
+    # newest driver row is r3 (so no green row goes >2 rounds stale),
+    # then the freshly-r4-certified remainder.
     return {
-        # -- new or changed in r4 --
-        "esql_sample": q_esql_sample,  # now deterministic HASH form + exact oracle
+        # -- new or code-changed in r5 (stddev closed form, CHANGE_POINT
+        #    single-pass guard, exact integral div emission, IP_PREFIX
+        #    v6-length validation) --
+        "esql_stats_stddev": q_esql_stats_stddev,
+        "esql_change_point": q_esql_change_point,
+        "esql_scalar_fns": q_esql_scalar_fns,
+        "esql_ip_prefix": q_esql_ip_prefix,
+        "esql_bucket": q_esql_bucket,
+        "esql_stats_extended": q_esql_stats_extended,
+        # -- last certified in r3: rotate into the driver window --
+        "esql_stats_by": q_esql_stats_by,
+        "esql_where_sort_limit": q_esql_where_sort_limit,
+        "esql_eval_rename": q_esql_eval_rename,
+        "query_template_render": q_query_template_render,
+        "query_template_theta": q_query_template_theta,
+        "query_string_template": q_query_string_template,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "salted_route_agg": q_salted_route_agg,
+        "dedup_latest_event": q_dedup_latest_event,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "esql_stats_percentile": q_esql_stats_percentile,
+        "esql_like_in": q_esql_like_in,
+        "parse_json_props": q_parse_json_props,
+        "scalar_or_array": q_scalar_or_array,
+        "target_nesting": q_target_nesting,
+        "esql_stats_multi": q_esql_stats_multi,
+        "index_wildcard": q_index_wildcard,
+        # -- certified green in r4 --
+        "esql_sample": q_esql_sample,
         "match_analyzed": q_match_analyzed,
         "sort_missing_values": q_sort_missing_values,
         "esql_grok_logline": q_esql_grok_logline,
-        "esql_stats_extended": q_esql_stats_extended,
         "esql_fuse": q_esql_fuse,
         "esql_dissect_modifiers": q_esql_dissect_modifiers,
-        "esql_ip_prefix": q_esql_ip_prefix,
-        "esql_change_point": q_esql_change_point,  # input-size guard added
-        "esql_bucket": q_esql_bucket,  # BUCKET emission now try_divide
-        # -- enrich comparator default changed (missing:_last) in r4;
-        #    these exercise it and were last certified in r2 --
         "enrich_left_join": q_enrich_left_join,
         "fields_multi_hit": q_fields_multi_hit,
         "docinfo_latest": q_docinfo_latest,
@@ -1290,7 +1334,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_dissect": q_esql_dissect,
         "esql_enrich": q_esql_enrich,
         "esql_mv_expand": q_esql_mv_expand,
-        # -- certified green in r3 --
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
@@ -1309,35 +1352,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_date_trunc": q_esql_date_trunc,
         "esql_cidr_match": q_esql_cidr_match,
         "esql_lookup_join": q_esql_lookup_join,
-        "esql_scalar_fns": q_esql_scalar_fns,
         "esql_case_mv": q_esql_case_mv,
         "aggregation_terms": q_aggregation_terms,
         "aggregation_histogram": q_aggregation_histogram,
         "aggregation_date_histogram": q_aggregation_date_histogram,
         "dedup_exact": q_dedup_exact,
         "dedup_normalized": q_dedup_normalized,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "salted_route_agg": q_salted_route_agg,
-        "dedup_latest_event": q_dedup_latest_event,
-        "quality_scores": q_quality_scores,
-        "lang_id": q_lang_id,
-        "token_counts": q_token_counts,
-        "fingerprint": q_fingerprint,
-        "multimodal_meta": q_multimodal_meta,
-        "esql_stats_percentile": q_esql_stats_percentile,
-        "esql_like_in": q_esql_like_in,
-        "parse_json_props": q_parse_json_props,
-        "scalar_or_array": q_scalar_or_array,
-        "target_nesting": q_target_nesting,
-        "esql_stats_multi": q_esql_stats_multi,
-        "index_wildcard": q_index_wildcard,
-        "esql_stats_by": q_esql_stats_by,
-        "esql_where_sort_limit": q_esql_where_sort_limit,
-        "esql_eval_rename": q_esql_eval_rename,
-        "query_template_render": q_query_template_render,
-        "query_template_theta": q_query_template_theta,
-        "query_string_template": q_query_string_template,
     }
 
 
@@ -1745,6 +1765,23 @@ def oracle_sql() -> dict[str, str]:
                    list(cents ORDER BY cents DESC)[2] AS t2,
                    list(cents ORDER BY cents DESC)[3] AS t3,
                    count(DISTINCT cents) AS nvals
+            FROM p GROUP BY user_id ORDER BY user_id
+        """,
+        "esql_stats_stddev": """
+            -- population stddev via ES's extended_stats closed form:
+            -- integral-cents double sums are exact in any order, then
+            -- the same subtract/divide/sqrt IEEE sequence both engines
+            WITH p AS (
+              SELECT user_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase')
+            SELECT user_id,
+                   sqrt(greatest(
+                     (sum(CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE))
+                      - sum(CAST(cents AS DOUBLE)) * sum(CAST(cents AS DOUBLE))
+                        / count(cents)) / count(cents),
+                     CAST(0 AS DOUBLE))) AS sd,
+                   count(cents) AS n
             FROM p GROUP BY user_id ORDER BY user_id
         """,
         "esql_fuse": """

@@ -238,15 +238,13 @@ _RENAME_FNS = {  # same arg order, different Spark name
     "NOW": "current_timestamp",
     "TO_BASE64": "base64",
     "BYTE_LENGTH": "octet_length",
-    # ES std_deviation is population (Welford over all docs), not sample
-    "STD_DEV": "stddev_pop",
 }
 _CUSTOM_FNS = {
     "CASE", "MV_SUM", "MV_AVG", "MV_FIRST", "MV_LAST", "MV_SORT", "SPLIT",
     "DATE_DIFF", "DATE_EXTRACT", "COUNT_DISTINCT", "PERCENTILE",
     "CIDR_MATCH", "TO_IP", "BUCKET",
     "MEDIAN", "VALUES", "TOP", "WEIGHTED_AVG",
-    "MV_SLICE", "MV_ZIP", "MV_MEDIAN",
+    "MV_SLICE", "MV_ZIP", "MV_MEDIAN", "STD_DEV",
     "FROM_BASE64", "SHA256", "HASH", "IP_PREFIX",
 }
 _IPV4_RE = r"^(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])){3}$"
@@ -506,6 +504,26 @@ def _translate_call(fn: str, args: list[str]) -> str:
         if order == "desc":
             sorted_arr = f"reverse({sorted_arr})"
         return f"slice({sorted_arr}, 1, {limit})"
+    if fn == "STD_DEV":
+        # ES std_deviation is POPULATION stddev, and ES computes it via
+        # the closed form (sum(x²) - sum(x)²/n)/n over double sums
+        # (extended_stats), not Welford — this engine emits exactly
+        # that form. For integral inputs below 2^53 the double sums are
+        # exact in ANY partition/merge order, making the result
+        # deterministic and DuckDB-oracle-checkable, unlike Spark's
+        # stddev_pop whose Welford merge order leaks into the low bits.
+        # greatest(·, 0) clamps the tiny negative variance the closed
+        # form can produce on near-constant float inputs; try_divide
+        # keeps n==0 NULL (all-NULL group) and stays out of the int/int
+        # truncation rewrite.
+        arity(1)
+        xd = f"cast(({args[0]}) as double)"
+        n = f"count({args[0]})"
+        return (
+            f"sqrt(greatest(try_divide(sum({xd} * {xd}) - "
+            f"try_divide(sum({xd}) * sum({xd}), {n}), {n}), "
+            f"cast(0 as double)))"
+        )
     if fn == "WEIGHTED_AVG":
         # sum(v*w)/sum(w), always double (explicit try_divide keeps it
         # out of the int/int truncation rewrite; NULL on zero weight)
