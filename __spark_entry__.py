@@ -233,6 +233,32 @@ def q_query_string_filter(spark, sf_dir):
     ).select("event_id", "user_id", "value")
 
 
+def q_query_string_exists(spark, sf_dir):
+    """B2 breadth (r5): `_exists_:f`, field groups `f:(a OR b)`, fuzzy
+    `term~` (AUTO edits via levenshtein) and `^boost` stripping, all
+    through the query_string grammar (docs/index.asciidoc:40). The
+    nullable `big` column gives _exists_ a real null set; the fuzzy
+    `purchas~` (AUTO -> 2 edits) keeps only 'purchase' from the field
+    group."""
+    from logstash_filter_elasticsearch_spark.plans.template import (
+        parse_query_string,
+        to_column,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    ev = events.withColumn("big", F.when(F.col("value") >= 100, F.col("value")))
+    node = parse_query_string(
+        "_exists_:big AND event_type:(purchase OR signup)^2 "
+        "AND event_type:purchas~ AND user_id:[10 TO 900}",
+        default_op="AND",
+    )
+    return (
+        ev.filter(to_column(node, F.col))
+        .select("event_id", "event_type", "user_id")
+        .orderBy("event_id")
+    )
+
+
 def q_terms_membership(spark, sf_dir):
     """B3: terms membership (fixture query_template_unicode.json:2-6)."""
     events = _t(spark, sf_dir, "events")
@@ -1284,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    single-pass guard, exact integral div emission, IP_PREFIX
         #    v6-length validation) --
         "esql_stats_stddev": q_esql_stats_stddev,
+        "query_string_exists": q_query_string_exists,
         "esql_change_point": q_esql_change_point,
         "esql_scalar_fns": q_esql_scalar_fns,
         "esql_ip_prefix": q_esql_ip_prefix,
@@ -1766,6 +1793,17 @@ def oracle_sql() -> dict[str, str]:
                    list(cents ORDER BY cents DESC)[3] AS t3,
                    count(DISTINCT cents) AS nvals
             FROM p GROUP BY user_id ORDER BY user_id
+        """,
+        "query_string_exists": """
+            -- the grammar's semantic result: _exists_:big == value>=100,
+            -- the (purchase OR signup) field group intersected with the
+            -- fuzzy purchas~ (<=2 edits) leaves exactly 'purchase',
+            -- [10 TO 900} is a half-open range, boost is scoring-only
+            SELECT event_id, event_type, user_id
+            FROM events
+            WHERE value >= 100 AND event_type = 'purchase'
+              AND user_id >= 10 AND user_id < 900
+            ORDER BY event_id
         """,
         "esql_stats_stddev": """
             -- population stddev via ES's extended_stats closed form:

@@ -31,9 +31,12 @@ leading match, pushed down as StringStartsWith), ``regexp``
 the ``_id`` envelope column), ``range``
 (gt/gte/lt/lte), ``exists``, ``wildcard`` (``*``/``?``), ``match_all``,
 and ``query_string`` with a mini-grammar (``field:value``, ``AND/OR/NOT``,
-parentheses, ``field:[a TO b]`` / ``field:>=v`` ranges, ``_exists_:f``,
-wildcards, quoted phrases) — covering the reference's documented
-templates (docs/index.asciidoc:36-103, fixture
+parentheses, field groups ``f:(a OR b)``, ``field:[a TO b]`` /
+``field:>=v`` ranges, ``_exists_:f``, wildcards, quoted phrases,
+``\\``-escapes, fuzzy ``term~``/``term~N``, proximity ``"a b"~N``, and
+``^boost`` recognized-and-stripped — boosts only affect scoring, never
+the hit set) — covering the reference's documented templates
+(docs/index.asciidoc:36-103, fixture
 spec/filters/fixtures/query_template.json and
 query_template_unicode.json).
 
@@ -175,6 +178,26 @@ class Match:
     operator: str = "or"
     phrase: bool = False
     phrase_prefix: bool = False
+    # phrase slop (``"a b"~2`` in query_string, ``slop`` in the JSON
+    # DSL): up to ``slop`` extra tokens may sit between consecutive
+    # query tokens, in order. (Lucene's full slop also permits
+    # reordering at cost 2 per move; this engine keeps the in-order
+    # subset — the overwhelmingly common use — and documents it.)
+    slop: int = 0
+
+
+@dataclass(frozen=True)
+class Fuzzy:
+    """query_string fuzzy term (``roam~`` / ``roam~1``): edit-distance
+    match. Lucene default fuzziness AUTO derives max edits from the
+    term length (0-2 chars -> 0, 3-5 -> 1, longer -> 2); an explicit
+    ``~N`` pins it. Un-analyzed (keyword-level) comparison, like this
+    grammar's Term. Compiles to ``levenshtein(field, term) <= d`` —
+    JVM-side, no UDF."""
+
+    field: str
+    value: Lit | EventRef
+    max_edits: int | None = None  # None = AUTO(term length)
 
 
 @dataclass(frozen=True)
@@ -206,15 +229,36 @@ def _has_ref(node) -> bool:
         return any(v.has_ref for _, v in node.bounds)
     if isinstance(node, Wildcard):
         return node.pattern.has_ref
+    if isinstance(node, Fuzzy):
+        return node.value.has_ref
     if isinstance(node, Bool):
         return any(_has_ref(c) for c in node.children)
     return False
 
 
 def _like_pattern(p: str) -> str:
-    """ES wildcard (`*`/`?`) -> SQL LIKE, escaping LIKE metachars."""
-    return p.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_") \
-        .replace("*", "%").replace("?", "_")
+    """ES wildcard (`*`/`?`) -> SQL LIKE, escaping LIKE metachars.
+
+    ``\\``-escaped characters (``\\*``, ``\\?``, ``\\\\`` — the Lucene/ES
+    wildcard escape syntax) are literals, not wildcards."""
+    like_esc = {"%": r"\%", "_": r"\_", "\\": "\\\\"}
+    out = []
+    i = 0
+    while i < len(p):
+        ch = p[i]
+        if ch == "\\" and i + 1 < len(p):
+            nxt = p[i + 1]
+            out.append(like_esc.get(nxt, nxt))
+            i += 2
+            continue
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        else:
+            out.append(like_esc.get(ch, ch))
+        i += 1
+    return "".join(out)
 
 
 def _analyze(c: Column) -> Column:
@@ -223,6 +267,13 @@ def _analyze(c: Column) -> Column:
     codegen (split/filter), constant-folded when ``c`` is a literal."""
     toks = F.split(F.lower(c.cast("string")), r"[^\p{L}\p{N}]+")
     return F.filter(toks, lambda x: x != F.lit(""))
+
+
+def _analyze_py(s: str) -> list[str]:
+    """Plan-time mirror of :func:`_analyze` for literal queries
+    (``[\\W_]+`` is Python's spelling of not-letter-not-digit: ``\\w``
+    is L+N+underscore, and the explicit ``_`` removes the underscore)."""
+    return [t for t in re.split(r"[\W_]+", s.lower()) if t]
 
 
 def to_column(node, res: Callable[[str], Column]) -> Column:
@@ -246,6 +297,25 @@ def to_column(node, res: Callable[[str], Column]) -> Column:
         qtoks = _analyze(node.query.expr())
         nonempty = F.size(qtoks) > 0
         if node.phrase or node.phrase_prefix:
+            if node.phrase and node.slop:
+                # sloppy phrase: tokens in order with up to `slop`
+                # intervening tokens between neighbors, expressed as a
+                # regex over the sentinel-spaced token string — only
+                # buildable for a literal query (the pattern is a
+                # plan-time constant; codegen rlike, no UDF)
+                if node.query.has_ref:
+                    raise TemplateError(
+                        "phrase slop with %{ref} queries is not supported"
+                    )
+                qt = _analyze_py(str(node.query.value))
+                if not qt:
+                    return F.lit(False)
+                gap = r"(?: \S+){0,%d} " % node.slop
+                pat = " " + gap.join(re.escape(t) for t in qt) + " "
+                fs = F.concat(
+                    F.lit(" "), F.array_join(ftoks, " "), F.lit(" ")
+                )
+                return fs.rlike(pat)
             # consecutive-in-order containment via sentinel-spaced
             # token strings: ' a b c ' contains ' b c ' iff the query
             # tokens appear adjacent and in order. phrase_prefix drops
@@ -274,6 +344,21 @@ def to_column(node, res: Callable[[str], Column]) -> Column:
         return out
     if isinstance(node, Exists):
         return res(node.field).isNotNull()
+    if isinstance(node, Fuzzy):
+        target = node.value.expr().cast("string")
+        fld = res(node.field).cast("string")
+        if node.max_edits is not None:
+            d: Column | int = node.max_edits
+        elif not node.value.has_ref:
+            n = len(str(node.value.value))
+            d = 0 if n <= 2 else (1 if n <= 5 else 2)
+        else:  # AUTO on a per-event value: derive from its length
+            d = (
+                F.when(F.length(target) <= 2, F.lit(0))
+                .when(F.length(target) <= 5, F.lit(1))
+                .otherwise(F.lit(2))
+            )
+        return F.levenshtein(fld, target) <= d
     if isinstance(node, Wildcard):
         if node.pattern.has_ref:
             # interpolated pattern: apply the same ES-wildcard -> LIKE
@@ -329,18 +414,22 @@ def _parse_query(node: dict):
         return Term(f, _val(v))
     if kind in ("match", "match_phrase", "match_phrase_prefix"):
         f, v = _single(body)
-        operator = "or"
+        operator, slop = "or", 0
         if isinstance(v, dict):  # {"f": {"query": q, "operator": "and"}}
             operator = str(v.get("operator", "or")).lower()
             if operator not in ("or", "and"):
                 raise TemplateError(
                     f"match operator must be 'or' or 'and', got {operator!r}"
                 )
+            slop = int(v.get("slop", 0))
+            if slop and kind != "match_phrase":
+                raise TemplateError("slop is only valid on match_phrase")
             v = v.get("query", v.get("value"))
         return Match(
             f, _val(v), operator=operator,
             phrase=kind == "match_phrase",
             phrase_prefix=kind == "match_phrase_prefix",
+            slop=slop,
         )
     if kind == "terms":
         f, vs = _single(body)
@@ -394,19 +483,102 @@ def _single(body: dict):
 
 _QS_TOKEN = re.compile(
     r"""\s*(?:
-        (?P<lpar>\()|(?P<rpar>\))|
+        (?P<lpar>\()|
+        (?P<rpar>\)(?:\^\d+(?:\.\d+)?)?)|                 # )^boost: boost is
+                                                          # scoring-only, dropped
         (?P<op>AND\b|OR\b|NOT\b)|
         (?P<clause>
             (?P<field>[\w@.*_]+|_exists_):
             (?P<value>
-                "[^"]*"                                   # phrase
-                |\[[^\]]*\]|\{[^}]*TO[^}]*\}              # [a TO b] / {a TO b}
-                |(?:>=|<=|>|<)?[^\s()]+                   # bare / >=v
+                "(?:\\.|[^"\\])*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?   # phrase [~slop][^boost]
+                |[\[{][^\]}]*TO[^\]}]*[\]}]               # [a TO b] ranges, mixed [a TO b} ok
+                |(?:>=|<=|>|<)?(?:\\.|[^\s()\\])+         # bare / >=v, \-escapes
             )
         )
     )""",
     re.VERBOSE,
 )
+
+# boost suffix on a bare term or phrase: scoring-only in ES, no effect
+# on the hit set of a filtering engine — recognized and stripped
+_QS_BOOST = re.compile(r"\^\d+(?:\.\d+)?$")
+_QS_FIELD_GROUP = re.compile(r"([\w@.*_]+):\(")
+_QS_GROUP_TOK = re.compile(
+    r"""\s*(
+        \(|\)|AND\b|OR\b|NOT\b
+        |"(?:\\.|[^"\\])*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?
+        |[\[{][^\]}]*TO[^\]}]*[\]}]
+        |(?:\\.|[^\s()\\])+
+    )""",
+    re.VERBOSE,
+)
+
+
+def _expand_field_groups(q: str) -> str:
+    """Distribute Lucene field groups: ``status:(active OR pending)``
+    becomes ``(status:active OR status:pending)`` before tokenizing,
+    so the main grammar stays field:value-shaped. Handles quotes,
+    ``\\``-escapes and nested plain parens; a value token inside the
+    group inherits the field, operators and parens pass through."""
+    out = []
+    i = 0
+    while True:
+        m = _QS_FIELD_GROUP.search(q, i)
+        if not m:
+            out.append(q[i:])
+            return "".join(out)
+        # a field:( inside a quoted phrase is literal text, not a group
+        cnt, esc = 0, False
+        for ch in q[:m.start()]:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                cnt += 1
+        if cnt % 2 == 1:
+            out.append(q[i : m.end()])
+            i = m.end()
+            continue
+        field = m.group(1)
+        out.append(q[i : m.start()])
+        depth, j, in_quote, esc = 0, m.end() - 1, False, False
+        while j < len(q):
+            ch = q[j]
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_quote = not in_quote
+            elif not in_quote:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            j += 1
+        if depth != 0:
+            raise TemplateError(
+                f"query_string: unterminated field group {field}:(..."
+            )
+        inner, pos, parts = q[m.end() : j], 0, []
+        while pos < len(inner):
+            t = _QS_GROUP_TOK.match(inner, pos)
+            if not t:
+                if inner[pos:].strip():
+                    raise TemplateError(
+                        f"query_string: bad field group content {inner[pos:]!r}"
+                    )
+                break
+            tok = t.group(1)
+            parts.append(
+                tok if tok in ("(", ")", "AND", "OR", "NOT") else f"{field}:{tok}"
+            )
+            pos = t.end()
+        out.append("(" + " ".join(parts) + ")")
+        i = j + 1
 
 
 def parse_query_string(q: str, default_op: str = "OR"):
@@ -414,6 +586,7 @@ def parse_query_string(q: str, default_op: str = "OR"):
     per event (``query => "type:start AND opid:%{[opid]}"``,
     dsl_executor.rb:37-39; docs/index.asciidoc:36-53). Compiled here to
     the same AST as the JSON DSL."""
+    q = _expand_field_groups(q)
     tokens = []
     pos = 0
     while pos < len(q):
@@ -439,10 +612,12 @@ def parse_query_string(q: str, default_op: str = "OR"):
     def parse_and():
         nonlocal i
         parts = [parse_unary()]
+        # adjacency (including a leading NOT: Lucene `a NOT b` is
+        # `a <default_op> (NOT b)`) joins with default_op
         while i < len(tokens) and (
             tokens[i]["op"] == "AND"
             or (
-                tokens[i]["op"] is None
+                tokens[i]["op"] in (None, "NOT")
                 and tokens[i]["rpar"] is None
                 and default_op.upper() == "AND"
             )
@@ -455,7 +630,7 @@ def parse_query_string(q: str, default_op: str = "OR"):
         while (
             default_op.upper() == "OR"
             and i < len(tokens)
-            and tokens[i]["op"] is None
+            and tokens[i]["op"] in (None, "NOT")
             and tokens[i]["rpar"] is None
         ):
             return Bool("or", (  # a b c == a OR (b ...) right-assoc, same set
@@ -503,11 +678,23 @@ def _qs_coerce(s: str):
     return Lit(s)
 
 
+def _qs_unescape(s: str) -> str:
+    """Resolve Lucene ``\\``-escapes (``\\:``, ``\\(``, ``\\*``, ``\\ `` ...)
+    to their literal characters."""
+    return re.sub(r"\\(.)", r"\1", s)
+
+
 def _qs_clause(field: str, value: str):
     if field == "_exists_":
         return Exists(value)
-    if value.startswith('"') and value.endswith('"'):
-        return Term(field, _val(value[1:-1]))
+    value = _QS_BOOST.sub("", value)  # ^boost: scoring-only, dropped
+    m = re.match(r'^"((?:\\.|[^"\\])*)"(?:~(\d+))?$', value)
+    if m:
+        body = _qs_unescape(m.group(1))
+        if m.group(2) is not None:
+            # proximity phrase "a b"~2: analyzed sloppy phrase match
+            return Match(field, _val(body), phrase=True, slop=int(m.group(2)))
+        return Term(field, _val(body))
     m = re.match(r"^([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$", value)
     if m:
         lo_inc, lo, hi, hi_inc = m.group(1) == "[", m.group(2), m.group(3), m.group(4) == "]"
@@ -521,9 +708,19 @@ def _qs_clause(field: str, value: str):
     if m:
         op = {">": "gt", ">=": "gte", "<": "lt", "<=": "lte"}[m.group(1)]
         return Range(field, ((op, _qs_coerce(m.group(2))),))
-    if ("*" in value or "?" in value) and "%{" not in value:
+    m = re.match(r"^(.*?)(?<!\\)~(\d*)$", value)
+    if m:  # fuzzy term: roam~ (AUTO) / roam~1 (pinned edits)
+        term = _qs_unescape(m.group(1))
+        edits = int(m.group(2)) if m.group(2) else None
+        if edits is not None and edits > 2:
+            raise TemplateError(
+                f"query_string: fuzziness is at most 2 edits, got {edits}"
+            )
+        return Fuzzy(field, _val(term), max_edits=edits)
+    if re.search(r"(?<!\\)[*?]", value) and "%{" not in value:
+        # raw (still-escaped) pattern: _like_pattern resolves \-escapes
         return Wildcard(field, Lit(value))
-    return Term(field, _qs_coerce(value))
+    return Term(field, _qs_coerce(_qs_unescape(value)))
 
 
 # --------------------------------------------------------------- compile
@@ -780,7 +977,9 @@ def _walk(col: Column, path: str) -> Column:
 
 
 def _node_fields(node) -> list[str]:
-    if isinstance(node, (Term, Terms, Range, Exists, Wildcard)):
+    if isinstance(
+        node, (Term, Terms, Range, Exists, Wildcard, Match, Prefix, Regexp, Fuzzy)
+    ):
         return [node.field]
     if isinstance(node, Bool):
         out: list[str] = []

@@ -532,3 +532,99 @@ def test_regexp_and_match_phrase_prefix(spark):
     # plain match_phrase stays exact-token: no 'foxes'
     t = compile_template({"query": {"match_phrase": {"txt": "brown fox"}}})
     assert ids(t.conjuncts()[0]) == [2]
+
+
+def test_query_string_field_groups():
+    # Lucene field group distributes the field over the group
+    n = parse_query_string("status:(active OR pending)", default_op="AND")
+    assert n == Bool("or", (Term("status", Lit("active")),
+                            Term("status", Lit("pending"))))
+    # default_op applies inside the group; nesting + NOT pass through
+    n = parse_query_string(
+        "lvl:(error NOT (warn OR info)) AND svc:api", default_op="AND"
+    )
+    assert n.op == "and"
+    grp = n.children[0]
+    assert grp.op == "and" and grp.children[0] == Term("lvl", Lit("error"))
+    assert grp.children[1].op == "not"
+    # a field:( inside a quoted phrase is literal text, not a group
+    n = parse_query_string('msg:"see x:(y)"')
+    assert n == Term("msg", Lit("see x:(y)"))
+    with pytest.raises(TemplateError, match="unterminated field group"):
+        parse_query_string("status:(a OR b")
+
+
+def test_query_string_escapes():
+    # \-escaped specials are literal characters
+    n = parse_query_string(r"path:\(1\+1\)\:2", default_op="AND")
+    assert n == Term("path", Lit("(1+1):2"))
+    n = parse_query_string(r"msg:a\ b", default_op="AND")
+    assert n == Term("msg", Lit("a b"))
+    # escaped wildcard chars are literal -> Term, not Wildcard
+    n = parse_query_string(r"f:two\*three")
+    assert n == Term("f", Lit("two*three"))
+    # unescaped wildcard still wildcards; _like_pattern keeps \* literal
+    from logstash_filter_elasticsearch_spark.plans.template import (
+        Wildcard as W, _like_pattern,
+    )
+    n = parse_query_string(r"f:two\**")
+    assert isinstance(n, W)
+    assert _like_pattern(n.pattern.value) == "two*%"
+    assert _like_pattern(r"a\\b*c_d") == "a\\\\b%c\\_d"
+
+
+def test_query_string_fuzzy_and_boost(spark):
+    from logstash_filter_elasticsearch_spark.plans.template import (
+        Fuzzy, to_column,
+    )
+    n = parse_query_string("name:roam~", default_op="AND")
+    assert n == Fuzzy("name", Lit("roam"), max_edits=None)
+    n = parse_query_string("name:roam~1")
+    assert n == Fuzzy("name", Lit("roam"), max_edits=1)
+    with pytest.raises(TemplateError, match="at most 2"):
+        parse_query_string("name:roam~5")
+    # boost is recognized and stripped (scoring-only)
+    assert parse_query_string("f:qu^2") == Term("f", Lit("qu"))
+    assert parse_query_string('f:"a b"^3') == Term("f", Lit("a b"))
+    assert parse_query_string("(a:1 OR b:2)^2", default_op="AND") == Bool(
+        "or", (Term("a", Lit(1)), Term("b", Lit(2)))
+    )
+    # execution: AUTO fuzziness on 'roam' (len 4 -> 1 edit)
+    df = spark.createDataFrame(
+        [(1, "roam"), (2, "foam"), (3, "roams"), (4, "rome"), (5, "remap")],
+        "id long, name string",
+    )
+    got = sorted(
+        r["id"] for r in df.filter(
+            to_column(parse_query_string("name:roam~"), F.col)
+        ).collect()
+    )
+    assert got == [1, 2, 3]  # foam/roams are 1 edit; rome is 2; remap 3
+
+
+def test_phrase_slop_query_string_and_json(spark):
+    from logstash_filter_elasticsearch_spark.plans.template import (
+        Match, to_column,
+    )
+    n = parse_query_string('txt:"quick fox"~1', default_op="AND")
+    assert isinstance(n, Match) and n.phrase and n.slop == 1
+    df = spark.createDataFrame(
+        [(1, "quick fox"), (2, "quick brown fox"),
+         (3, "quick red brown fox"), (4, "fox quick")],
+        "id long, txt string",
+    )
+
+    def ids(node):
+        return sorted(
+            r["id"] for r in df.filter(to_column(node, F.col)).collect()
+        )
+
+    assert ids(n) == [1, 2]  # slop 1: one intervening token allowed
+    t = compile_template(
+        {"query": {"match_phrase": {"txt": {"query": "quick fox", "slop": 2}}}}
+    )
+    assert ids(t.conjuncts()[0]) == [1, 2, 3]
+    with pytest.raises(TemplateError, match="slop"):
+        compile_template(
+            {"query": {"match": {"txt": {"query": "x", "slop": 1}}}}
+        )
