@@ -98,6 +98,51 @@ EVALS = [
     # hash/base64 scalars: deterministic strings, engine-portable
     ("e = HASH('md5', txt)", "md5(txt) AS e"),
     ("e = TO_BASE64(txt)", "to_base64(txt::BLOB) AS e"),
+    # IP_PREFIX fragments (r5): the SQL side replays the
+    # num - num % 2^(32-len) arithmetic on the synthesized octets —
+    # /20 masks inside the third octet (n in 0..99), /28 inside the
+    # fourth (7 -> 0), /32 is identity
+    ("e = IP_PREFIX(CONCAT('10.0.', TO_STRING(n), '.7'), 20, 64)",
+     "('10.0.' || (n - n % 16) || '.0') AS e"),
+    ("e = IP_PREFIX(CONCAT('10.0.', TO_STRING(n), '.7'), 28, 64)",
+     "('10.0.' || n || '.0') AS e"),
+    ("e = IP_PREFIX(CONCAT('10.0.', TO_STRING(n), '.7'), 32, 64)",
+     "('10.0.' || n || '.7') AS e"),
+]
+
+# FUSE (r5): branch predicate pool for FORK -> STATS -> FUSE pipelines
+FUSE_BRANCHES = [
+    ("WHERE grp == 'a'", "WHERE grp = 'a'"),
+    ("WHERE n > 60", "WHERE n > 60"),
+    ("WHERE n % 2 == 0", "WHERE n % 2 = 0"),
+    ("WHERE val > 0.0", "WHERE val > 0.0"),
+    ("WHERE txt LIKE 'd*'", "WHERE txt LIKE 'd%'"),
+]
+
+# DISSECT modifier pool (r5): the line is synthesized from columns, so
+# the SQL side states the extracted fields directly (null-guarded: a
+# NULL grp nulls the whole line, and dissect of NULL yields NULLs).
+# Line shape: txt || ' ' || n || ' - ' || grp || '   tail'
+DISSECTS = [
+    # plain split on the literal separators
+    ('"%{a} %{b} - %{c}   tail"', None,
+     ["CASE WHEN grp IS NOT NULL THEN txt END AS a",
+      "CASE WHEN grp IS NOT NULL THEN CAST(n AS VARCHAR) END AS b",
+      "CASE WHEN grp IS NOT NULL THEN grp END AS c"],
+     ["a", "b", "c"]),
+    # %{+key} append with APPEND_SEPARATOR + named skip %{?x}
+    ('"%{+a} %{+a} - %{?x}   tail"', "_",
+     ["CASE WHEN grp IS NOT NULL THEN txt || '_' || CAST(n AS VARCHAR) "
+      "END AS a"],
+     ["a"]),
+    # %{key->} right padding: the single-space delimiter after c may
+    # repeat, eating the padding run before 'tail'
+    ('"%{a} %{b} - %{c->} %{d}"', None,
+     ["CASE WHEN grp IS NOT NULL THEN txt END AS a",
+      "CASE WHEN grp IS NOT NULL THEN CAST(n AS VARCHAR) END AS b",
+      "CASE WHEN grp IS NOT NULL THEN grp END AS c",
+      "CASE WHEN grp IS NOT NULL THEN 'tail' END AS d"],
+     ["a", "b", "c", "d"]),
 ]
 
 AGGS = [
@@ -137,7 +182,54 @@ def pipeline_pairs(draw):
     """One random pipeline as (esql_statement, duckdb_sql, ordered)."""
     where = draw(st.one_of(st.none(), st.sampled_from(WHERES)))
     ev = draw(st.one_of(st.none(), st.sampled_from(EVALS)))
-    mode = draw(st.sampled_from(["stats", "rows", "inline"]))
+    mode = draw(st.sampled_from(["stats", "rows", "inline", "fuse", "dissect"]))
+
+    if mode == "fuse":
+        b1, b2 = draw(
+            st.lists(st.sampled_from(FUSE_BRANCHES), min_size=2, max_size=2,
+                     unique=True)
+        )
+        method = draw(st.sampled_from(["rrf", "linear"]))
+        rc = draw(st.sampled_from([None, 10, 100])) if method == "rrf" else None
+        opt = f" WITH rank_constant={rc}" if rc else ""
+        esql_stmt = (
+            f"FROM t | EVAL k = n % 10 "
+            f"| FORK ({b1[0]} | STATS sc = COUNT(*) BY k) "
+            f"       ({b2[0]} | STATS sc = COUNT(*) BY k) "
+            f"| FUSE {method} KEY BY k SCORE BY sc{opt}"
+        )
+        if method == "rrf":
+            contrib = f"1.0 / ({rc or 60} + row_number() OVER " \
+                      f"(PARTITION BY f ORDER BY sc DESC, k ASC))"
+        else:
+            contrib = "sc"
+        fused = "sum(contrib)" if method == "rrf" else \
+            "CAST(sum(contrib) AS BIGINT)"
+        sql = (
+            f"WITH base AS (SELECT *, n % 10 AS k FROM t), "
+            f"b1 AS (SELECT k, count(*) AS sc FROM base {b1[1]} GROUP BY k), "
+            f"b2 AS (SELECT k, count(*) AS sc FROM base {b2[1]} GROUP BY k), "
+            f"u AS (SELECT 0 AS f, k, sc FROM b1 "
+            f"      UNION ALL SELECT 1, k, sc FROM b2), "
+            f"r AS (SELECT k, {contrib} AS contrib FROM u) "
+            f"SELECT k, {fused} AS _fused_score FROM r GROUP BY k "
+            f"ORDER BY _fused_score DESC, k ASC"
+        )
+        return esql_stmt, sql, True
+
+    if mode == "dissect":
+        pat, sep, sql_fields, outs = draw(st.sampled_from(DISSECTS))
+        sep_opt = f' APPEND_SEPARATOR="{sep}"' if sep else ""
+        esql_stmt = (
+            "FROM t | EVAL line = CONCAT(txt, ' ', TO_STRING(n), ' - ', "
+            "grp, '   tail') "
+            f"| DISSECT line {pat}{sep_opt} "
+            f"| KEEP id, {', '.join(outs)} | SORT id"
+        )
+        sql = (
+            f"SELECT id, {', '.join(sql_fields)} FROM t ORDER BY id"
+        )
+        return esql_stmt, sql, True
 
     esql = ["FROM t"]
     if where:

@@ -91,6 +91,30 @@ LEAVES = [
         f"contains(' ' || array_to_string({_TOKENS}, ' ') || ' ', "
         f"' delta echo ')",
     ),
+    # r5 query_string grammar breadth, through the full JSON-DSL path:
+    # field groups distribute the field; _exists_; fuzzy -> levenshtein
+    # (same AUTO edit count spelled on the SQL side); boost stripped;
+    # \-escape resolves to a literal space inside the term
+    (
+        {"query_string": {"query": "grp:(a OR c)", "default_operator": "AND"}},
+        "(grp = 'a' OR grp = 'c')",
+    ),
+    (
+        {"query_string": {"query": "_exists_:grp AND n:>=50"}},
+        "(grp IS NOT NULL AND n >= 50)",
+    ),
+    (
+        {"query_string": {"query": "grp:a^2 OR n:[90 TO 95}"}},
+        "(grp = 'a' OR (n >= 90 AND n < 95))",
+    ),
+    (
+        {"query_string": {"query": "txt:dart~1"}},
+        "levenshtein(txt, 'dart') <= 1",
+    ),
+    (
+        {"query_string": {"query": r"txt:delta\ echo3"}},
+        "txt = 'delta echo3'",
+    ),
 ]
 
 
