@@ -978,6 +978,30 @@ def test_change_point_guard_requires_bounded_input(spark, monkeypatch):
     assert out.count() == 50
 
 
+def test_change_point_single_upstream_pass(spark):
+    """The size guard and the windowed scoring share ONE upstream
+    execution (r5: bounded localCheckpoint before the probe) — an
+    accumulator in the upstream pipe counts exactly n rows, not 2n."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = spark.range(0, 200).select(F.col("id").alias("k"))
+    counted = base.mapInPandas(bump, "k long").withColumn(
+        "v",
+        F.when(F.col("k") < 100, F.lit(1.0)).otherwise(F.lit(10.0)),
+    )
+    out = run_esql(
+        spark, "FROM t | CHANGE_POINT v ON k", tables={"t": counted}
+    ).collect()
+    assert len(out) == 200
+    assert [r["k"] for r in out if r["type"] is not None] == [100]
+    assert acc.value == 200  # one pass, not one per probe+scoring
+
+
 def test_grok_pattern_library_breadth(spark):
     """The first-reach logstash patterns extract correctly; unmatched
     lines yield NULLs (grok no-match keeps the row)."""
