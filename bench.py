@@ -108,6 +108,23 @@ def pipeline_worker(cores: int, data_dir: str, out_dir: str) -> None:
                 "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100 "
                 f"-XX:ActiveProcessorCount={cores}"
             ),
+            # Executor-shape-faithful heap (r5): a real N -> 4N executor
+            # scale-out multiplies memory WITH cores (the executor spec
+            # is fixed; only the count scales). Holding one 4g heap
+            # constant across local[2]/local[8] gave the 2-core level 4x
+            # the per-task execution memory of the 8-core level — stage
+            # metrics showed local[2] spilling 0 bytes in the fan-out
+            # write sort while local[8] spilled 4.0 GiB (2.1 GiB to
+            # disk), deflating measured 2->8 efficiency to ~0.73 for a
+            # reason no multi-executor cluster reproduces. 512 MiB/core
+            # equalizes per-task memory (both levels now spill alike:
+            # local[2]@1g spills 3.0 GiB). Capped at 4g: heaps >4g
+            # anti-scale on this VM class (16g at local[32] measured
+            # 26-33s vs 10s at 4g — ~10x-host-cost page faults + G1
+            # walking a huge heap; see BENCH/BASELINE.md), so the 32-core
+            # level keeps 4g and its pair stays a documented single-box
+            # underestimate.
+            "spark.driver.memory": f"{min(512 * cores, 4096)}m",
             # the orchestrator SIGSTOPs this whole process group while
             # other levels take their timed runs (~a minute at most);
             # keep internal RPC timeouts far above any freeze window
@@ -267,13 +284,19 @@ def run_scaling(data_dir: str, levels=(2, 8, 32), trials: int | None = None) -> 
 
     The north rule's N -> 4N criterion is evidenced with N=2 -> 4N=8
     (the headline ``scaling_efficiency``) and the full curve up to
-    local[32] is reported alongside. Rationale: 8 -> 32 on this
-    single-box sandbox shares ONE memory bus — the fan-out write is
-    data-movement-bound and saturates host bandwidth near ~8 cores
-    (measured: identical write times for snappy/zstd/none at 32), which
-    a multi-executor cluster does not suffer (each executor has its own
-    memory bus and local disks). Both pairs are printed; nothing is
-    hidden.
+    local[32] is reported alongside. Each level gets an executor-
+    shape-faithful heap (512 MiB/core — scale-out multiplies memory
+    with cores; see pipeline_worker): r5 stage metrics showed the old
+    constant 4g heap let local[2] run the fan-out write sort fully
+    in-memory while local[8] spilled 4 GiB, deflating the ratio for a
+    reason no real N -> 4N executor jump reproduces. 8 -> 32 remains a
+    documented underestimate: one JVM cannot emulate 16 separate 1 GiB
+    heaps (a 16g heap anti-scales on this VM class — measured 26-33 s
+    vs 10 s at 4g), so the 32-core level runs heap-starved per task.
+    Both pairs are printed; nothing is hidden. (The r2-r4 "one shared
+    memory bus" floor theory for 2 -> 8 was refuted by direct
+    microbenches — tools/scaling_floor.py: stream/gather/cache/spin all
+    scale ~1.0 from 2 to 8 pinned processes.)
     """
     # 5 interleaved trials by default: the median of 5 paired ratios is
     # robust to one or two steal-polluted windows (observed per-trial
@@ -438,7 +461,7 @@ def main() -> None:
     # median. The recorded number is the best invocation's median (the
     # quietest window is the closest estimate of the machine's true
     # N->4N behavior); every invocation's median is reported alongside.
-    n_inv = int(os.environ.get("LFES_BENCH_INVOCATIONS", "2"))
+    n_inv = int(os.environ.get("LFES_BENCH_INVOCATIONS", "3"))
     invocations = [
         run_scaling(data_dir, trials=int(os.environ.get("LFES_BENCH_TRIALS", "4")))
         for _ in range(n_inv)
@@ -447,13 +470,23 @@ def main() -> None:
     scaling["scaling_invocations"] = n_inv
     inv_medians = [s["scaling_efficiency"] for s in invocations]
     scaling["scaling_efficiency_invocation_medians"] = inv_medians
-    # primary (typical-machine) number: the median across invocation
-    # medians; the max is real signal too (steal is one-sided, so the
-    # quietest window best estimates uncontended capability) but is
-    # labeled explicitly as best_invocation, not recorded as the
-    # headline
+    # primary (typical-machine) number: the median of ALL per-trial
+    # paired ratios pooled across invocations — one estimator over
+    # n_inv x trials samples beats a median of n_inv medians (with
+    # n_inv=2 that degraded to a mean, so one steal-polluted window
+    # dragged the headline). The max invocation median is real signal
+    # too (steal is one-sided, so the quietest window best estimates
+    # uncontended capability) but is labeled explicitly as
+    # best_invocation, not recorded as the headline.
+    lo, hi = scaling["scaling_pair"].replace("local[", "").replace("]", "").split(" -> ")
+    pooled = [
+        e
+        for s in invocations
+        for e in s.get(f"efficiency_{lo}_to_{hi}_trials", [])
+    ]
     scaling["scaling_efficiency_best_invocation"] = max(inv_medians)
-    scaling["scaling_efficiency"] = round(_median(inv_medians), 3)
+    scaling["scaling_efficiency_pooled_trials"] = pooled
+    scaling["scaling_efficiency"] = round(_median(pooled), 3)
     scaling["scaling_efficiency_low_steal_invocations"] = [
         s["scaling_efficiency_low_steal"] for s in invocations
     ]
