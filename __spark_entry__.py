@@ -1245,6 +1245,26 @@ def q_esql_lookup_join(spark, sf_dir):
     )
 
 
+def q_esql_math_tail(spark, sf_dir):
+    """A14/B10 r5 math-tail surface: TAU/SCALB/ROUND_TO/TO_DEGREES/
+    TO_RADIANS (ES|QL names Spark lacks or spells differently;
+    esql_executor.rb:59-63 passthrough). Oracle replicates Java's exact
+    op order (toDegrees = x*180/pi, toRadians = x/180*pi, scalb =
+    x*2^i) so every double is bit-identical cross-engine; ROUND_TO
+    returns the literal points themselves (exact by construction)."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    return run_esql(
+        spark,
+        "FROM events "
+        "| EVAL ang = TO_DOUBLE(user_id % 360), "
+        "deg = TO_DEGREES(ang), rad = TO_RADIANS(ang), "
+        "sc = SCALB(TO_DOUBLE(user_id % 9), 3), tau = TAU(), "
+        "rt = ROUND_TO(value, 0, 10, 100, 1000) "
+        "| KEEP event_id, deg, rad, sc, tau, rt",
+        tables=tables,
+    )
+
+
 def q_esql_scalar_fns(spark, sf_dir):
     """A14/B10 scalar-function surface: TO_UPPER/SUBSTRING/LENGTH/LEFT/
     STARTS_WITH/REPLACE (replace-all regex semantics) compiled to
@@ -1310,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    single-pass guard, exact integral div emission, IP_PREFIX
         #    v6-length validation) --
         "esql_stats_stddev": q_esql_stats_stddev,
+        "esql_math_tail": q_esql_math_tail,
         "query_string_exists": q_query_string_exists,
         "esql_change_point": q_esql_change_point,
         "esql_scalar_fns": q_esql_scalar_fns,
@@ -2267,6 +2288,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id AS c_custkey,
                    c.c_name, c.c_nationkey
             FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "esql_math_tail": """
+            -- Java op order replicated exactly: toDegrees = x*180.0/pi,
+            -- toRadians = x/180.0*pi, scalb = x * 2^i; ROUND_TO is a
+            -- descending comparison chain returning the literal points
+            SELECT event_id,
+                   (CAST(user_id % 360 AS DOUBLE) * 180.0 / pi()) AS deg,
+                   (CAST(user_id % 360 AS DOUBLE) / 180.0 * pi()) AS rad,
+                   (CAST(user_id % 9 AS DOUBLE)
+                      * power(CAST(2 AS DOUBLE), 3)) AS sc,
+                   (2 * pi()) AS tau,
+                   CASE WHEN value IS NULL THEN NULL
+                        WHEN value >= 1000 THEN 1000
+                        WHEN value >= 100 THEN 100
+                        WHEN value >= 10 THEN 10
+                        ELSE 0 END AS rt
+            FROM events
         """,
         "esql_scalar_fns": """
             SELECT doc_id,

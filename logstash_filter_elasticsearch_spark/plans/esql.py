@@ -238,6 +238,8 @@ _RENAME_FNS = {  # same arg order, different Spark name
     "NOW": "current_timestamp",
     "TO_BASE64": "base64",
     "BYTE_LENGTH": "octet_length",
+    "TO_DEGREES": "degrees",
+    "TO_RADIANS": "radians",
 }
 _CUSTOM_FNS = {
     "CASE", "MV_SUM", "MV_AVG", "MV_FIRST", "MV_LAST", "MV_SORT", "SPLIT",
@@ -246,6 +248,8 @@ _CUSTOM_FNS = {
     "MEDIAN", "VALUES", "TOP", "WEIGHTED_AVG",
     "MV_SLICE", "MV_ZIP", "MV_MEDIAN", "STD_DEV",
     "FROM_BASE64", "SHA256", "HASH", "IP_PREFIX",
+    "TAU", "SCALB", "ROUND_TO", "MV_PERCENTILE",
+    "MV_MEDIAN_ABSOLUTE_DEVIATION",
 }
 _IPV4_RE = r"^(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])){3}$"
 # ES|QL DATE_EXTRACT takes java.time ChronoField names; map the common
@@ -572,6 +576,66 @@ def _translate_call(fn: str, args: list[str]) -> str:
         lo = f"try_element_at({srt}, cast((size({args[0]}) + 1) div 2 as int))"
         hi = f"try_element_at({srt}, cast((size({args[0]}) + 2) div 2 as int))"
         return f"(({lo}) + ({hi})) / 2"
+    if fn == "TAU":
+        # ES|QL TAU() = 2*pi (no Spark builtin)
+        arity(0)
+        return "(2 * pi())"
+    if fn == "SCALB":
+        # SCALB(d, i) = d * 2^i (java.lang.Math.scalb). power() computes
+        # in double, which matches ES|QL's double return type; extreme
+        # exponents overflow to Infinity exactly as double arithmetic
+        # does.
+        arity(2)
+        return f"(({args[0]}) * power(cast(2 as double), {args[1]}))"
+    if fn == "ROUND_TO":
+        # ROUND_TO(field, p1, p2, ...): round DOWN to the largest listed
+        # point <= field; anything below the smallest point gets the
+        # smallest point. Points must be numeric literals (ES|QL
+        # requires constants) so they can be sorted at compile time and
+        # the emission is one branch-per-point codegen chain.
+        if len(args) < 2:
+            raise EsqlValidationError("ROUND_TO needs a field and >=1 point")
+        try:
+            pts = sorted(float(a) for a in args[1:])
+        except ValueError:
+            raise EsqlValidationError(
+                "ROUND_TO points must be numeric literals"
+            ) from None
+        lits = [
+            a for _, a in sorted(zip(pts, args[1:]), key=lambda t: t[0])
+        ]
+        acc = lits[0]  # below the smallest point -> smallest point
+        for lit in lits[1:]:
+            acc = f"if(({args[0]}) >= {lit}, {lit}, {acc})"
+        # NULL field stays NULL (every comparison is NULL -> final else
+        # branch would fire, so guard explicitly)
+        return f"if(({args[0]}) is null, null, {acc})"
+    if fn == "MV_PERCENTILE":
+        # MV_PERCENTILE(values, p): linear-interpolated percentile over
+        # one row's multivalue (same convention as the PERCENTILE
+        # aggregate): rank = (n-1)*p/100, result = s[lo] + frac *
+        # (s[lo+1] - s[lo]) on the sorted values. Arrays are small
+        # per-row, so the repeated array_sort subexpression is cheap.
+        arity(2)
+        srt = f"array_sort({args[0]})"
+        n = f"size({args[0]})"
+        rank = f"(({n} - 1) * cast({args[1]} as double) / 100.0)"
+        lo = f"cast(floor({rank}) as int)"
+        frac = f"({rank} - floor({rank}))"
+        vlo = f"cast(try_element_at({srt}, {lo} + 1) as double)"
+        vhi = f"cast(try_element_at({srt}, least({lo} + 2, {n})) as double)"
+        return f"(({vlo}) + ({frac}) * (({vhi}) - ({vlo})))"
+    if fn == "MV_MEDIAN_ABSOLUTE_DEVIATION":
+        # median(|v - median(values)|) over one row's multivalue. The
+        # inner median reuses MV_MEDIAN's emission; the outer median
+        # runs over the absolute deviations via transform(). Double
+        # arithmetic throughout (ES|QL returns the field type, but its
+        # int variants truncate exactly like the probed `/ 2` rewrite
+        # this reuses).
+        arity(1)
+        med = _translate_call("MV_MEDIAN", args)
+        dev = f"transform({args[0]}, v -> abs(cast(v as double) - ({med})))"
+        return _translate_call("MV_MEDIAN", [dev])
     if fn == "IP_PREFIX":
         # IP_PREFIX(ip, v4_len, v6_len): zero the host bits, keep the
         # network address. v4 arithmetic form (no bitwise ops needed:

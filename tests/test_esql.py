@@ -1108,6 +1108,48 @@ def test_new_mv_functions(spark):
                  tables={"t": odd})
 
 
+def test_math_tail_functions(spark):
+    """r5 tail of the scalar surface: TAU/SCALB/ROUND_TO/TO_DEGREES/
+    TO_RADIANS and the MV percentile family."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, 52.0, [5.0, 1.0, 3.0, 9.0]), (2, 0.0, [7.0]), (3, None, None)],
+        "id long, v double, nums array<double>",
+    )
+    out = {
+        r["id"]: r
+        for r in run_esql(
+            spark,
+            "FROM t | EVAL tau = TAU(), sc = SCALB(3.0, 4), "
+            "deg = TO_DEGREES(3.141592653589793), rad = TO_RADIANS(180.0), "
+            "rt = ROUND_TO(v, 0, 50, 100), "
+            "p50 = MV_PERCENTILE(nums, 50), p0 = MV_PERCENTILE(nums, 0), "
+            "p100 = MV_PERCENTILE(nums, 100), "
+            "mad = MV_MEDIAN_ABSOLUTE_DEVIATION(nums)",
+            tables={"t": df},
+        ).collect()
+    }
+    r1 = out[1]
+    assert abs(r1["tau"] - 2 * math.pi) < 1e-12
+    assert r1["sc"] == 48.0  # 3 * 2^4
+    assert abs(r1["deg"] - 180.0) < 1e-9
+    assert abs(r1["rad"] - math.pi) < 1e-12
+    assert r1["rt"] == 50  # 52 rounds DOWN to the largest point <= it
+    assert out[2]["rt"] == 0
+    # sorted [1,3,5,9]: p50 -> 1 + 0.5*(... ) interpolated = 4.0
+    assert r1["p50"] == 4.0 and r1["p0"] == 1.0 and r1["p100"] == 9.0
+    # deviations from median 4: [1,3,1,5] -> sorted [1,1,3,5] -> med 2
+    assert r1["mad"] == 2.0
+    assert out[2]["p50"] == 7.0 and out[2]["mad"] == 0.0
+    # NULL field/array propagates
+    assert out[3]["rt"] is None and out[3]["p50"] is None
+    with pytest.raises(EsqlValidationError, match="numeric literals"):
+        run_esql(spark, "FROM t | EVAL x = ROUND_TO(v, id)", tables={"t": df})
+    with pytest.raises(EsqlValidationError, match="takes 0"):
+        run_esql(spark, "FROM t | EVAL x = TAU(v)", tables={"t": df})
+
+
 def test_base64_and_hash_functions(spark):
     df = spark.createDataFrame([("hello",)], "s string")
     out = run_esql(

@@ -108,6 +108,20 @@ EVALS = [
      "('10.0.' || n || '.0') AS e"),
     ("e = IP_PREFIX(CONCAT('10.0.', TO_STRING(n), '.7'), 32, 64)",
      "('10.0.' || n || '.7') AS e"),
+    # math tail (r5): oracle replays Java's exact op order so doubles
+    # stay bit-identical (toDegrees = x*180/pi, toRadians = x/180*pi,
+    # scalb = x*2^i); ROUND_TO returns the literal points themselves
+    ("e = TO_DEGREES(TO_DOUBLE(n % 360))",
+     "(CAST(n % 360 AS DOUBLE) * 180.0 / pi()) AS e"),
+    ("e = TO_RADIANS(TO_DOUBLE(n % 360))",
+     "(CAST(n % 360 AS DOUBLE) / 180.0 * pi()) AS e"),
+    ("e = SCALB(TO_DOUBLE(n % 9), 4)",
+     "(CAST(n % 9 AS DOUBLE) * power(CAST(2 AS DOUBLE), 4)) AS e"),
+    ("e = TAU() * TO_DOUBLE(n % 3)",
+     "(2 * pi()) * CAST(n % 3 AS DOUBLE) AS e"),
+    ("e = ROUND_TO(n, 0, 25, 50, 75)",
+     "CASE WHEN n IS NULL THEN NULL WHEN n >= 75 THEN 75 "
+     "WHEN n >= 50 THEN 50 WHEN n >= 25 THEN 25 ELSE 0 END AS e"),
 ]
 
 # FUSE (r5): branch predicate pool for FORK -> STATS -> FUSE pipelines
