@@ -757,6 +757,99 @@ def _parse_args(s: str, open_paren: int) -> tuple[list[str], int]:
     raise EsqlValidationError(f"unbalanced parens in {s!r}")
 
 
+# ES|QL `value::type` cast-shorthand type names -> the canonical TO_*
+# call, so `::` inherits the same null-on-malformed try_cast semantics
+# (and `::ip` the custom v4 validation) instead of passing through to
+# Spark's ANSI `::`, which ABORTS the whole query on one bad value.
+_COLON_CAST_TYPES = {
+    "integer": "TO_INTEGER", "int": "TO_INTEGER",
+    "long": "TO_LONG",
+    "double": "TO_DOUBLE", "float": "TO_DOUBLE",
+    "string": "TO_STRING", "keyword": "TO_STRING", "text": "TO_STRING",
+    "boolean": "TO_BOOLEAN", "bool": "TO_BOOLEAN",
+    "datetime": "TO_DATETIME", "date": "TO_DATETIME",
+    "ip": "TO_IP",
+}
+_OPERAND_CHARS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._`$@"
+)
+
+
+def _rewrite_colon_cast(expr: str) -> str:
+    """Rewrite ES|QL ``operand::type`` into ``TO_<TYPE>(operand)``.
+
+    The operand is resolved with full quote/paren awareness built on a
+    forward scan (matching parens and string bounds are recorded going
+    forward, so a ``(`` inside a string literal can never desynchronize
+    a backward scan): a closing paren pulls in the whole call
+    (function name included), a closing quote pulls in the string
+    literal, anything else is an identifier/number run. Chained casts
+    (``x::long::string``) resolve leftmost-first across iterations.
+    """
+    while True:
+        q = _QuoteState()
+        paren_stack: list[int] = []
+        match_open: dict[int, int] = {}
+        str_open: dict[int, int] = {}
+        open_quote = -1
+        idx = -1
+        i = 0
+        while i < len(expr):
+            ch = expr[i]
+            if q.in_quote:
+                was = q.quote
+                q.feed(ch)
+                if not q.in_quote and ch == was:
+                    str_open[i] = open_quote
+                i += 1
+                continue
+            if ch in ("'", '"'):
+                open_quote = i
+                q.feed(ch)
+                i += 1
+                continue
+            if ch == "(":
+                paren_stack.append(i)
+            elif ch == ")":
+                if paren_stack:
+                    match_open[i] = paren_stack.pop()
+            elif ch == ":" and expr.startswith("::", i):
+                idx = i
+                break
+            i += 1
+        if idx < 0:
+            return expr
+        m = re.match(r"\s*([A-Za-z_]+)", expr[idx + 2 :])
+        if not m:
+            raise EsqlValidationError("expected a type name after '::'")
+        tname = m.group(1).lower()
+        fn = _COLON_CAST_TYPES.get(tname)
+        if fn is None:
+            raise EsqlValidationError(
+                f"unsupported '::' cast type {tname!r}; one of "
+                f"{sorted(set(_COLON_CAST_TYPES))}"
+            )
+        tail = idx + 2 + m.end()
+        j = idx
+        while j > 0 and expr[j - 1].isspace():
+            j -= 1
+        if j == 0:
+            raise EsqlValidationError("'::' has no operand")
+        if expr[j - 1] == ")" and (j - 1) in match_open:
+            start = match_open[j - 1]
+            while start > 0 and expr[start - 1] in _OPERAND_CHARS:
+                start -= 1
+        elif expr[j - 1] in ("'", '"') and (j - 1) in str_open:
+            start = str_open[j - 1]
+        else:
+            start = j
+            while start > 0 and expr[start - 1] in _OPERAND_CHARS:
+                start -= 1
+            if start == j:
+                raise EsqlValidationError("'::' has no operand")
+        expr = f"{expr[:start]}{fn}({expr[start:j]}){expr[tail:]}"
+
+
 def _translate_expr(expr: str) -> str:
     """ES|QL expression -> Spark SQL expression (string literals are
     never touched):
@@ -771,6 +864,9 @@ def _translate_expr(expr: str) -> str:
     Left-to-right single pass with recursion into call arguments, so
     nested calls translate and nothing is rewritten twice.
     """
+    # `value::type` shorthand first: canonicalized to TO_*() calls so
+    # the loop below gives it try_cast (null-on-malformed) semantics
+    expr = _rewrite_colon_cast(expr)
     out: list[str] = []
     pos = 0
     q = _QuoteState()

@@ -1108,6 +1108,32 @@ def test_new_mv_functions(spark):
                  tables={"t": odd})
 
 
+def test_colon_cast_shorthand(spark):
+    """ES|QL `value::type` shorthand gets TO_*'s null-on-malformed
+    semantics (Spark's native `::` is ANSI and would abort the whole
+    query on one bad row), handles chained casts, parenthesized and
+    string-literal operands, and rejects unknown type names."""
+    df = spark.createDataFrame(
+        [(1, "42"), (2, "oops")], "id long, s string"
+    )
+    out = {
+        r["id"]: r
+        for r in run_esql(
+            spark,
+            "FROM t | EVAL n = s::integer, chain = id::string::long, "
+            "paren = (id + 1)::double, lit = '7'::int, "
+            "inert = CONCAT(s, '::int')",
+            tables={"t": df},
+        ).collect()
+    }
+    assert out[1]["n"] == 42 and out[2]["n"] is None  # null, not abort
+    assert out[1]["chain"] == 1 and out[1]["paren"] == 2.0
+    assert out[1]["lit"] == 7
+    assert out[2]["inert"] == "oops::int"  # quoted `::` untouched
+    with pytest.raises(EsqlValidationError, match="unsupported '::'"):
+        run_esql(spark, "FROM t | EVAL x = s::nope", tables={"t": df})
+
+
 def test_math_tail_functions(spark):
     """r5 tail of the scalar surface: TAU/SCALB/ROUND_TO/TO_DEGREES/
     TO_RADIANS and the MV percentile family."""

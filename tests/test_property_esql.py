@@ -122,6 +122,12 @@ EVALS = [
     ("e = ROUND_TO(n, 0, 25, 50, 75)",
      "CASE WHEN n IS NULL THEN NULL WHEN n >= 75 THEN 75 "
      "WHEN n >= 50 THEN 50 WHEN n >= 25 THEN 25 ELSE 0 END AS e"),
+    # `::` cast shorthand (r5): routed through TO_* so malformed input
+    # NULLs instead of aborting — paired with DuckDB TRY_CAST
+    ("e = TO_STRING(n)::long + 1", "n + 1 AS e"),
+    ("e = SUBSTRING(txt, 1, 2)::long",
+     "TRY_CAST(substring(txt, 1, 2) AS BIGINT) AS e"),
+    ("e = (n % 10)::double / 4", "CAST(n % 10 AS DOUBLE) / 4 AS e"),
 ]
 
 # FUSE (r5): branch predicate pool for FORK -> STATS -> FUSE pipelines
