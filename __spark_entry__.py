@@ -1245,6 +1245,47 @@ def q_esql_lookup_join(spark, sf_dir):
     )
 
 
+# DuckDB regexp_extract caps the group index at 9, so the oracle reads
+# the last four fields through a second, end-anchored tail regex
+_APACHE_TAIL_RX = (
+    r'(\d+) (?:(\d+)|-) ("(?:[^"\\]|\\.)*"|-) ("(?:[^"\\]|\\.)*"|-)$'
+)
+_APACHE_RX = (
+    r"(\S+) ([A-Za-z0-9._-]+) ([A-Za-z0-9._-]+) "
+    r"\[(\d{1,2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2}\s+[+-]\d{4})\] "
+    r'"(?:(\w+) (\S+)(?: HTTP/(\d+(?:\.\d+)?))?|(.*?))" '
+    r"(\d+) (?:(\d+)|-) "
+    r'("(?:[^"\\]|\\.)*"|-) ("(?:[^"\\]|\\.)*"|-)'
+)
+
+
+def q_esql_grok_apache(spark, sf_dir):
+    """A15 composite grok: one %{COMBINEDAPACHELOG} token expands to
+    the 12 canonical apache-log fields (logstash grok-patterns
+    definition). Log lines are synthesized deterministically from
+    events columns (every 5th row has '-' bytes, exercising the
+    NULL-after-cast path); the oracle replays the same concat and the
+    byte-identical regex via DuckDB regexp_extract group numbers."""
+    tables = {"events": _t(spark, sf_dir, "events")}
+    return run_esql(
+        spark,
+        "FROM events "
+        "| EVAL msg = CONCAT('10.0.', TO_STRING(user_id % 50), '.9 - u',"
+        " TO_STRING(user_id % 7),"
+        " ' [17/May/2015:10:05:03 +0000] \"GET /p/',"
+        " TO_STRING(event_id % 100), ' HTTP/1.1\" ',"
+        " TO_STRING(200 + (event_id % 4) * 100), ' ',"
+        " CASE(event_id % 5 == 0, '-', TO_STRING(event_id % 1000)),"
+        " ' \"http://r.example/', TO_STRING(event_id % 3),"
+        " '\" \"agent/', TO_STRING(event_id % 2), '\"') "
+        '| GROK msg "%{COMBINEDAPACHELOG}" '
+        "| EVAL resp = response::long, nbytes = bytes::long "
+        "| KEEP event_id, clientip, auth, verb, request, httpversion, "
+        "resp, nbytes, referrer, agent",
+        tables=tables,
+    )
+
+
 def q_esql_math_tail(spark, sf_dir):
     """A14/B10 r5 math-tail surface: TAU/SCALB/ROUND_TO/TO_DEGREES/
     TO_RADIANS (ES|QL names Spark lacks or spells differently;
@@ -1331,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    v6-length validation) --
         "esql_stats_stddev": q_esql_stats_stddev,
         "esql_math_tail": q_esql_math_tail,
+        "esql_grok_apache": q_esql_grok_apache,
         "query_string_exists": q_query_string_exists,
         "esql_change_point": q_esql_change_point,
         "esql_scalar_fns": q_esql_scalar_fns,
@@ -2288,6 +2330,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id AS c_custkey,
                    c.c_name, c.c_nationkey
             FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "esql_grok_apache": f"""
+            -- same synthesized log line, same regex, positional groups:
+            -- 1 clientip 3 auth 5 verb 6 request 7 httpversion
+            -- 9 response 10 bytes 11 referrer 12 agent
+            WITH m AS (
+              SELECT event_id,
+                     ('10.0.' || (user_id % 50) || '.9 - u'
+                      || (user_id % 7)
+                      || ' [17/May/2015:10:05:03 +0000] "GET /p/'
+                      || (event_id % 100) || ' HTTP/1.1" '
+                      || (200 + (event_id % 4) * 100) || ' '
+                      || CASE WHEN event_id % 5 = 0 THEN '-'
+                              ELSE CAST(event_id % 1000 AS VARCHAR) END
+                      || ' "http://r.example/' || (event_id % 3)
+                      || '" "agent/' || (event_id % 2) || '"') AS msg
+              FROM events
+            )
+            SELECT event_id,
+                   NULLIF(regexp_extract(msg, '{_APACHE_RX}', 1), '')
+                     AS clientip,
+                   NULLIF(regexp_extract(msg, '{_APACHE_RX}', 3), '')
+                     AS auth,
+                   NULLIF(regexp_extract(msg, '{_APACHE_RX}', 5), '')
+                     AS verb,
+                   NULLIF(regexp_extract(msg, '{_APACHE_RX}', 6), '')
+                     AS request,
+                   NULLIF(regexp_extract(msg, '{_APACHE_RX}', 7), '')
+                     AS httpversion,
+                   TRY_CAST(NULLIF(regexp_extract(msg, '{_APACHE_TAIL_RX}', 1),
+                                   '') AS BIGINT) AS resp,
+                   TRY_CAST(NULLIF(regexp_extract(msg, '{_APACHE_TAIL_RX}', 2),
+                                   '') AS BIGINT) AS nbytes,
+                   NULLIF(regexp_extract(msg, '{_APACHE_TAIL_RX}', 3), '')
+                     AS referrer,
+                   NULLIF(regexp_extract(msg, '{_APACHE_TAIL_RX}', 4), '')
+                     AS agent
+            FROM m
         """,
         "esql_math_tail": """
             -- Java op order replicated exactly: toDegrees = x*180.0/pi,

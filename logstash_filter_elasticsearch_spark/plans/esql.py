@@ -1978,6 +1978,31 @@ _GROK_PATTERNS = {
     "IPV6": r"(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}",
 }
 
+# Composite patterns (logstash grok-patterns cross-referenced
+# definitions, flattened): one %{NAME} token expands to MULTIPLE
+# captured fields with canonical names. All fields extract as strings
+# (the logstash definitions carry no :int coercions; post-cast with
+# `::long` / TO_LONG as logstash users add :int). Each regex contains
+# exactly len(fields) capturing groups, in field order; everything else
+# is non-capturing so downstream group numbering stays positional.
+_GROK_COMPOSITES: dict[str, tuple[str, list[str]]] = {
+    "COMMONAPACHELOG": (
+        r"(\S+) ([A-Za-z0-9._-]+) ([A-Za-z0-9._-]+) "
+        r"\[(\d{1,2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2}\s+[+-]\d{4})\] "
+        r'"(?:(\w+) (\S+)(?: HTTP/(\d+(?:\.\d+)?))?|(.*?))" '
+        r"(\d+) (?:(\d+)|-)",
+        [
+            "clientip", "ident", "auth", "timestamp", "verb", "request",
+            "httpversion", "rawrequest", "response", "bytes",
+        ],
+    ),
+}
+_GROK_COMPOSITES["COMBINEDAPACHELOG"] = (
+    _GROK_COMPOSITES["COMMONAPACHELOG"][0]
+    + r' ("(?:[^"\\]|\\.)*"|-) ("(?:[^"\\]|\\.)*"|-)',
+    _GROK_COMPOSITES["COMMONAPACHELOG"][1] + ["referrer", "agent"],
+)
+
 _GROK_TYPES = {"int": "long", "long": "long", "float": "double", "double": "double"}
 
 
@@ -1993,6 +2018,18 @@ def _apply_grok(df: DataFrame, body: str) -> DataFrame:
     for m in re.finditer(r"%\{(\w+)(?::([\w.]+))?(?::(\w+))?\}", pattern):
         regex_parts.append(re.escape(pattern[pos : m.start()]))
         base, name, typ = m.group(1), m.group(2), m.group(3)
+        if base in _GROK_COMPOSITES:
+            # one token -> many canonically-named fields
+            if name:
+                raise EsqlValidationError(
+                    f"composite grok pattern %{{{base}}} names its own "
+                    f"fields; drop the :{name} suffix"
+                )
+            comp_rx, comp_fields = _GROK_COMPOSITES[base]
+            regex_parts.append(comp_rx)
+            fields.extend((f, None) for f in comp_fields)
+            pos = m.end()
+            continue
         if base not in _GROK_PATTERNS:
             raise EsqlValidationError(f"unknown grok pattern %{{{base}}}")
         if name:

@@ -1108,6 +1108,45 @@ def test_new_mv_functions(spark):
                  tables={"t": odd})
 
 
+def test_grok_composite_apache(spark):
+    """%{COMBINEDAPACHELOG} expands one token into the 12 canonical
+    fields (logstash grok-patterns definition, flattened): both the
+    verb/request/httpversion branch and the rawrequest fallback, '-'
+    bytes as NULL-after-cast, QS keeping its quotes."""
+    full = (
+        '66.249.73.185 - frank [17/May/2015:10:05:03 +0000] '
+        '"GET /downloads/product_1 HTTP/1.1" 304 1024 '
+        '"http://example.com/start" "Mozilla/5.0"'
+    )
+    raw = '10.0.0.1 - - [18/May/2015:11:05:03 +0000] "quit" 400 - "-" "-"'
+    df = spark.createDataFrame([(1, full), (2, raw)], "id long, msg string")
+    out = {
+        r["id"]: r
+        for r in run_esql(
+            spark,
+            'FROM t | GROK msg "%{COMBINEDAPACHELOG}" '
+            "| EVAL resp = response::long, b = bytes::long",
+            tables={"t": df},
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1["clientip"] == "66.249.73.185" and r1["auth"] == "frank"
+    assert r1["verb"] == "GET" and r1["request"] == "/downloads/product_1"
+    assert r1["httpversion"] == "1.1" and r1["rawrequest"] is None
+    assert r1["resp"] == 304 and r1["b"] == 1024
+    assert r1["referrer"] == '"http://example.com/start"'
+    assert r1["agent"] == '"Mozilla/5.0"'
+    r2 = out[2]
+    assert r2["rawrequest"] == "quit" and r2["verb"] is None
+    assert r2["resp"] == 400 and r2["b"] is None  # '-' bytes
+    with pytest.raises(EsqlValidationError, match="names its own"):
+        run_esql(
+            spark,
+            'FROM t | GROK msg "%{COMBINEDAPACHELOG:x}"',
+            tables={"t": df},
+        )
+
+
 def test_colon_cast_shorthand(spark):
     """ES|QL `value::type` shorthand gets TO_*'s null-on-malformed
     semantics (Spark's native `::` is ANSI and would abort the whole
