@@ -2002,6 +2002,12 @@ _GROK_COMPOSITES["COMBINEDAPACHELOG"] = (
     + r' ("(?:[^"\\]|\\.)*"|-) ("(?:[^"\\]|\\.)*"|-)',
     _GROK_COMPOSITES["COMMONAPACHELOG"][1] + ["referrer", "agent"],
 )
+_GROK_COMPOSITES["SYSLOGBASE"] = (
+    # SYSLOGTIMESTAMP host PROG[PID]: — pid optional, as in SYSLOGPROG
+    r"(\w{3}\s+\d{1,2}\s\d{2}:\d{2}:\d{2}) ([A-Za-z0-9._-]+) "
+    r"([\w._/%-]+)(?:\[(\d+)\])?:",
+    ["timestamp", "logsource", "program", "pid"],
+)
 
 _GROK_TYPES = {"int": "long", "long": "long", "float": "double", "double": "double"}
 

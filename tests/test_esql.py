@@ -1145,6 +1145,28 @@ def test_grok_composite_apache(spark):
             'FROM t | GROK msg "%{COMBINEDAPACHELOG:x}"',
             tables={"t": df},
         )
+    # SYSLOGBASE: timestamp/logsource/program with optional [pid]
+    sdf = spark.createDataFrame(
+        [
+            (1, "May 17 10:05:03 web-01 sshd[4123]: Accepted publickey"),
+            (2, "May  3 00:00:01 db-2 cron: job started"),
+        ],
+        "id long, msg string",
+    )
+    srows = {
+        r["id"]: r
+        for r in run_esql(
+            spark,
+            'FROM t | GROK msg "%{SYSLOGBASE} %{GREEDYDATA:logmsg}" '
+            "| EVAL pidn = pid::long",
+            tables={"t": sdf},
+        ).collect()
+    }
+    assert srows[1]["logsource"] == "web-01" and srows[1]["program"] == "sshd"
+    assert srows[1]["pidn"] == 4123
+    assert srows[1]["logmsg"] == "Accepted publickey"
+    assert srows[2]["program"] == "cron" and srows[2]["pidn"] is None
+    assert srows[2]["timestamp"] == "May  3 00:00:01"
 
 
 def test_colon_cast_shorthand(spark):
