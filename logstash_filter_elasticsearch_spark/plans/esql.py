@@ -1345,28 +1345,59 @@ def _resolve_from(
     (elasticsearch.rb:26-28; spec elasticsearch_dsl_spec.rb:83-98):
     comma-separated names union; ``foo*`` wildcards match registered
     tables; empty/``_all`` means every registered table.
+
+    ``FROM spec METADATA _index`` (ES|QL's metadata clause) attaches
+    the resolved source-table name as an ``_index`` column per scan
+    BEFORE the union — the faithful analog of ES labeling each hit with
+    its index, and the way to tell rows apart under a wildcard. The
+    other ES metadata fields (``_id``/``_version``/``_score``/...) have
+    no table equivalent here and fail fast with guidance.
     """
+    meta_cols: list[str] = []
+    m = re.search(r"\bMETADATA\b", spec, re.I)
+    # contextual keyword: only a METADATA that FOLLOWS an index spec is
+    # the clause (a table literally named "metadata" stays a table)
+    if m and not spec[: m.start()].strip():
+        m = None
+    if m:
+        meta_cols = [
+            c.strip() for c in spec[m.end() :].split(",") if c.strip()
+        ]
+        spec = spec[: m.start()].strip()
+        bad = [c for c in meta_cols if c != "_index"]
+        if bad:
+            raise EsqlValidationError(
+                f"unsupported METADATA field(s) {bad}: only _index has a "
+                f"table-scan equivalent (there is no per-row _id/_version/"
+                f"_score in a columnar table; carry your own id column)"
+            )
+        if not meta_cols:
+            raise EsqlValidationError("METADATA requires a field list")
     names = [n.strip() for n in spec.split(",") if n.strip()]
     registry = tables or {}
 
-    def lookup(name: str) -> list[DataFrame]:
+    def lookup(name: str) -> list[tuple[str, DataFrame]]:
         if name in ("", "_all"):
             if registry:
-                return list(registry.values())
+                return sorted(registry.items())
             raise EsqlValidationError("_all requires a table registry")
         if "*" in name:
             pat = re.compile("^" + re.escape(name).replace(r"\*", ".*") + "$")
-            hits = [df for t, df in registry.items() if pat.match(t)]
+            hits = [(t, df) for t, df in registry.items() if pat.match(t)]
             if not hits:
                 raise EsqlValidationError(f"No tables match wildcard {name!r}")
-            return hits
+            return sorted(hits)
         if name in registry:
-            return [registry[name]]
-        return [spark.table(name)]
+            return [(name, registry[name])]
+        return [(name, spark.table(name))]
 
-    dfs: list[DataFrame] = []
+    pairs: list[tuple[str, DataFrame]] = []
     for n in names or ["_all"]:
-        dfs.extend(lookup(n))
+        pairs.extend(lookup(n))
+    dfs = [
+        df.withColumn("_index", F.lit(t)) if meta_cols else df
+        for t, df in pairs
+    ]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)

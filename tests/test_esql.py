@@ -1108,6 +1108,36 @@ def test_new_mv_functions(spark):
                  tables={"t": odd})
 
 
+def test_from_metadata_index(spark):
+    """FROM ... METADATA _index labels each row with its resolved
+    source-table name before the union — the disambiguator for
+    wildcard scans; unsupported metadata fields fail with guidance."""
+    a = spark.createDataFrame([(1,)], "v long")
+    b = spark.createDataFrame([(2,)], "v long")
+    tables = {"logs_a": a, "logs_b": b}
+    out = run_esql(
+        spark,
+        "FROM logs_* METADATA _index | SORT v",
+        tables=tables,
+    ).collect()
+    assert [(r["v"], r["_index"]) for r in out] == [
+        (1, "logs_a"), (2, "logs_b"),
+    ]
+    # the metadata column participates in downstream stages like any
+    # other column (ES|QL semantics: drops out unless used/kept)
+    agg = run_esql(
+        spark,
+        "FROM logs_* METADATA _index | STATS n = COUNT(*) BY _index "
+        "| SORT _index",
+        tables=tables,
+    ).collect()
+    assert [(r["_index"], r["n"]) for r in agg] == [("logs_a", 1), ("logs_b", 1)]
+    with pytest.raises(EsqlValidationError, match="only _index"):
+        run_esql(spark, "FROM logs_a METADATA _id", tables=tables)
+    with pytest.raises(EsqlValidationError, match="field list"):
+        run_esql(spark, "FROM logs_a METADATA", tables=tables)
+
+
 def test_grok_composite_apache(spark):
     """%{COMBINEDAPACHELOG} expands one token into the 12 canonical
     fields (logstash grok-patterns definition, flattened): both the
