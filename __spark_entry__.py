@@ -1286,6 +1286,24 @@ def q_esql_grok_apache(spark, sf_dir):
     )
 
 
+def q_esql_fulltext(spark, sf_dir):
+    """A14/B2 ES|QL full-text functions (8.17+): MATCH or/and +
+    MATCH_PHRASE over documents.text, sharing the template engine's
+    standard-analyzer approximation (lowercase, non-letter/digit
+    split); QSTR covered by the same grammar as query_string_*."""
+    tables = {"documents": _t(spark, sf_dir, "documents")}
+    return run_esql(
+        spark,
+        "FROM documents "
+        "| WHERE MATCH(text, 'vector stream') "
+        "| EVAL both = MATCH(text, 'vector stream', 'and'), "
+        "phrase = MATCH_PHRASE(text, 'vector stream') "
+        "| KEEP doc_id, both, phrase "
+        "| SORT doc_id",
+        tables=tables,
+    )
+
+
 def q_esql_math_tail(spark, sf_dir):
     """A14/B10 r5 math-tail surface: TAU/SCALB/ROUND_TO/TO_DEGREES/
     TO_RADIANS (ES|QL names Spark lacks or spells differently;
@@ -1372,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    v6-length validation) --
         "esql_stats_stddev": q_esql_stats_stddev,
         "esql_math_tail": q_esql_math_tail,
+        "esql_fulltext": q_esql_fulltext,
         "esql_grok_apache": q_esql_grok_apache,
         "query_string_exists": q_query_string_exists,
         "esql_change_point": q_esql_change_point,
@@ -2368,6 +2387,21 @@ def oracle_sql() -> dict[str, str]:
                    NULLIF(regexp_extract(msg, '{_APACHE_TAIL_RX}', 4), '')
                      AS agent
             FROM m
+        """,
+        "esql_fulltext": """
+            -- same analyzer approximation as match_analyzed, applied to
+            -- the ES|QL MATCH/MATCH_PHRASE surface
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                       '[^\\p{L}\\p{N}]+'), x -> x <> '') AS toks
+              FROM documents)
+            SELECT doc_id,
+                   list_has_all(toks, ['vector','stream']) AS both,
+                   contains(' ' || array_to_string(toks, ' ') || ' ',
+                            ' vector stream ') AS phrase
+            FROM t WHERE list_has_any(toks, ['vector','stream'])
+            ORDER BY doc_id
         """,
         "esql_math_tail": """
             -- Java op order replicated exactly: toDegrees = x*180.0/pi,

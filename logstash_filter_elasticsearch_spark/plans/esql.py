@@ -250,7 +250,27 @@ _CUSTOM_FNS = {
     "FROM_BASE64", "SHA256", "HASH", "IP_PREFIX",
     "TAU", "SCALB", "ROUND_TO", "MV_PERCENTILE",
     "MV_MEDIAN_ABSOLUTE_DEVIATION",
+    "MATCH", "MATCH_PHRASE",
 }
+
+# the SQL spelling of template._analyze (standard-analyzer
+# approximation: lowercase, split on non-letter/non-digit runs, drop
+# empties) — keep the two in lockstep
+_ANALYZE_SQL = (
+    "filter(split(lower(cast({v} as string)), '[^\\\\p{{L}}\\\\p{{N}}]+'),"
+    " x -> x != '')"
+)
+
+
+def _string_literal_of(expr: str) -> str | None:
+    """The Python value of a plain single-quoted SQL string literal, or
+    None if ``expr`` is anything else."""
+    e = expr.strip()
+    if len(e) >= 2 and e[0] == "'" and e[-1] == "'" and "\\" not in e:
+        inner = e[1:-1]
+        if "'" not in inner:
+            return inner
+    return None
 _IPV4_RE = r"^(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])){3}$"
 # ES|QL DATE_EXTRACT takes java.time ChronoField names; map the common
 # ones onto Spark extract fields (DAY_OF_WEEK is ISO-numbered in
@@ -576,6 +596,49 @@ def _translate_call(fn: str, args: list[str]) -> str:
         lo = f"try_element_at({srt}, cast((size({args[0]}) + 1) div 2 as int))"
         hi = f"try_element_at({srt}, cast((size({args[0]}) + 2) div 2 as int))"
         return f"(({lo}) + ({hi})) / 2"
+    if fn in ("MATCH", "MATCH_PHRASE"):
+        # ES|QL full-text functions (8.17+), sharing the template
+        # engine's standard-analyzer approximation (template.py:_analyze
+        # / Match): MATCH = analyzed token overlap (operator 'or'; pass
+        # 'and' as a third argument for containment), MATCH_PHRASE =
+        # query tokens consecutive and in field order via
+        # sentinel-spaced token strings. Zero-token queries match
+        # nothing (ES zero_terms_query: none).
+        if fn == "MATCH" and len(args) == 3:
+            op = (_string_literal_of(args[2]) or "").lower()
+            if op not in ("and", "or"):
+                raise EsqlValidationError(
+                    "MATCH's third argument must be 'and' or 'or'"
+                )
+            args = args[:2]
+        else:
+            op = "or"
+            arity(2)
+        ftoks = _ANALYZE_SQL.format(v=args[0])
+        lit = _string_literal_of(args[1])
+        if lit is not None:  # tokenize literal queries at compile time
+            qt = [t for t in re.split(r"[\W_]+", lit.lower()) if t]
+            if not qt:
+                return "false"
+            if fn == "MATCH_PHRASE":
+                phrase = " " + " ".join(qt) + " "
+                return (
+                    f"contains(concat(' ', array_join({ftoks}, ' '), ' '), "
+                    f"'{phrase}')"
+                )
+            qtoks = "array(" + ", ".join(f"'{t}'" for t in qt) + ")"
+        else:
+            qtoks = _ANALYZE_SQL.format(v=args[1])
+            if fn == "MATCH_PHRASE":
+                return (
+                    f"(size({qtoks}) > 0 AND contains("
+                    f"concat(' ', array_join({ftoks}, ' '), ' '), "
+                    f"concat(' ', array_join({qtoks}, ' '), ' ')))"
+                )
+            qtoks = f"(CASE WHEN size({qtoks}) > 0 THEN {qtoks} END)"
+        if op == "and":
+            return f"(size(array_except({qtoks}, {ftoks})) = 0)"
+        return f"arrays_overlap({ftoks}, {qtoks})"
     if fn == "TAU":
         # ES|QL TAU() = 2*pi (no Spark builtin)
         arity(0)
@@ -1476,7 +1539,25 @@ def _run_stages(
         _set_probe_df(df)  # integer-division typing against this stage's input
 
         if cmd == "WHERE":
-            df = df.filter(_compile_expr(body))
+            qm = re.match(r"^QSTR\(\s*'((?:[^'\\]|\\.)*)'\s*\)$", body, re.I)
+            if qm:
+                # ES|QL QSTR('...') (8.17+): the whole Lucene
+                # query_string grammar (fields, AND/OR/NOT, ranges,
+                # wildcards, fuzzy, phrases, _exists_), reusing the
+                # template engine's parser+compiler. Supported as the
+                # entire WHERE body; compose further conditions as
+                # additional WHERE stages (pipes AND together).
+                from .template import parse_query_string, to_column
+
+                node = parse_query_string(qm.group(1).replace("\\'", "'"))
+                df = df.filter(to_column(node, lambda f: F.col(f)))
+            elif re.search(r"\bQSTR\s*\(", body, re.I):
+                raise EsqlValidationError(
+                    "QSTR(...) must be the entire WHERE body; chain "
+                    "further conditions as additional WHERE stages"
+                )
+            else:
+                df = df.filter(_compile_expr(body))
         elif cmd == "STATS":
             aggs, by_items = _parse_stats_body(body)
             if by_items:

@@ -1108,6 +1108,46 @@ def test_new_mv_functions(spark):
                  tables={"t": odd})
 
 
+def test_fulltext_functions(spark):
+    """ES|QL full-text surface: MATCH (analyzed token overlap, optional
+    'and' operator), MATCH_PHRASE (consecutive in-order tokens), and
+    QSTR (the whole query_string grammar as a WHERE body), all sharing
+    the template engine's standard-analyzer approximation."""
+    df = spark.createDataFrame(
+        [
+            (1, "The Quick Brown Fox", "web"),
+            (2, "quick fox", "api"),
+            (3, "brown quick", "web"),
+            (4, "", "web"),
+        ],
+        "id long, txt string, src string",
+    )
+
+    def ids(q):
+        return sorted(
+            r["id"] for r in run_esql(spark, q, tables={"t": df}).collect()
+        )
+
+    assert ids("FROM t | WHERE MATCH(txt, 'Quick BROWN')") == [1, 2, 3]
+    assert ids("FROM t | WHERE MATCH(txt, 'Quick BROWN', 'and')") == [1, 3]
+    assert ids("FROM t | WHERE MATCH_PHRASE(txt, 'quick brown')") == [1]
+    assert ids("FROM t | WHERE MATCH(txt, '...')") == []  # zero tokens
+    assert ids("FROM t | WHERE MATCH(txt, src)") == []  # column query
+    assert ids("FROM t | WHERE QSTR('src:web') | WHERE MATCH(txt, 'quick')") \
+        == [1, 3]
+    assert ids("FROM t | WHERE QSTR('src:web OR txt:\"quick fox\"')") \
+        == [1, 2, 3, 4]
+    with pytest.raises(EsqlValidationError, match="entire WHERE body"):
+        run_esql(
+            spark, "FROM t | WHERE QSTR('src:web') AND id > 1",
+            tables={"t": df},
+        )
+    with pytest.raises(EsqlValidationError, match="'and' or 'or'"):
+        run_esql(
+            spark, "FROM t | WHERE MATCH(txt, 'x', 'xor')", tables={"t": df}
+        )
+
+
 def test_from_metadata_index(spark):
     """FROM ... METADATA _index labels each row with its resolved
     source-table name before the union — the disambiguator for
