@@ -838,48 +838,73 @@ _OPERAND_CHARS = frozenset(
 )
 
 
+def _scan_structure(expr: str, stop_at: str | None = None):
+    """Forward structural scan: record every closing paren's matching
+    open index and every closing quote's opening index (so a ``(``
+    inside a string literal can never desynchronize a backward operand
+    scan). If ``stop_at`` is given, also return the index of its first
+    unquoted occurrence (or -1)."""
+    q = _QuoteState()
+    paren_stack: list[int] = []
+    match_open: dict[int, int] = {}
+    str_open: dict[int, int] = {}
+    open_quote = -1
+    found = -1
+    i = 0
+    while i < len(expr):
+        ch = expr[i]
+        if q.in_quote:
+            was = q.quote
+            q.feed(ch)
+            if not q.in_quote and ch == was:
+                str_open[i] = open_quote
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            open_quote = i
+            q.feed(ch)
+            i += 1
+            continue
+        if ch == "(":
+            paren_stack.append(i)
+        elif ch == ")":
+            if paren_stack:
+                match_open[i] = paren_stack.pop()
+        elif stop_at and expr.startswith(stop_at, i):
+            found = i
+            break
+        i += 1
+    return match_open, str_open, found
+
+
+def _operand_start(
+    expr: str, j: int, match_open: dict[int, int], str_open: dict[int, int]
+) -> int:
+    """Start index of the postfix operand ENDING at ``j`` (exclusive):
+    a closing paren pulls in the whole call (function name included), a
+    closing quote the string literal, else an identifier/number run."""
+    if expr[j - 1] == ")" and (j - 1) in match_open:
+        start = match_open[j - 1]
+        while start > 0 and expr[start - 1] in _OPERAND_CHARS:
+            start -= 1
+        return start
+    if expr[j - 1] in ("'", '"') and (j - 1) in str_open:
+        return str_open[j - 1]
+    start = j
+    while start > 0 and expr[start - 1] in _OPERAND_CHARS:
+        start -= 1
+    return start
+
+
 def _rewrite_colon_cast(expr: str) -> str:
     """Rewrite ES|QL ``operand::type`` into ``TO_<TYPE>(operand)``.
 
-    The operand is resolved with full quote/paren awareness built on a
-    forward scan (matching parens and string bounds are recorded going
-    forward, so a ``(`` inside a string literal can never desynchronize
-    a backward scan): a closing paren pulls in the whole call
-    (function name included), a closing quote pulls in the string
-    literal, anything else is an identifier/number run. Chained casts
-    (``x::long::string``) resolve leftmost-first across iterations.
+    Operand resolution via :func:`_scan_structure` /
+    :func:`_operand_start`. Chained casts (``x::long::string``)
+    resolve leftmost-first across iterations.
     """
     while True:
-        q = _QuoteState()
-        paren_stack: list[int] = []
-        match_open: dict[int, int] = {}
-        str_open: dict[int, int] = {}
-        open_quote = -1
-        idx = -1
-        i = 0
-        while i < len(expr):
-            ch = expr[i]
-            if q.in_quote:
-                was = q.quote
-                q.feed(ch)
-                if not q.in_quote and ch == was:
-                    str_open[i] = open_quote
-                i += 1
-                continue
-            if ch in ("'", '"'):
-                open_quote = i
-                q.feed(ch)
-                i += 1
-                continue
-            if ch == "(":
-                paren_stack.append(i)
-            elif ch == ")":
-                if paren_stack:
-                    match_open[i] = paren_stack.pop()
-            elif ch == ":" and expr.startswith("::", i):
-                idx = i
-                break
-            i += 1
+        match_open, str_open, idx = _scan_structure(expr, stop_at="::")
         if idx < 0:
             return expr
         m = re.match(r"\s*([A-Za-z_]+)", expr[idx + 2 :])
@@ -898,18 +923,9 @@ def _rewrite_colon_cast(expr: str) -> str:
             j -= 1
         if j == 0:
             raise EsqlValidationError("'::' has no operand")
-        if expr[j - 1] == ")" and (j - 1) in match_open:
-            start = match_open[j - 1]
-            while start > 0 and expr[start - 1] in _OPERAND_CHARS:
-                start -= 1
-        elif expr[j - 1] in ("'", '"') and (j - 1) in str_open:
-            start = str_open[j - 1]
-        else:
-            start = j
-            while start > 0 and expr[start - 1] in _OPERAND_CHARS:
-                start -= 1
-            if start == j:
-                raise EsqlValidationError("'::' has no operand")
+        start = _operand_start(expr, j, match_open, str_open)
+        if start == j:
+            raise EsqlValidationError("'::' has no operand")
         expr = f"{expr[:start]}{fn}({expr[start:j]}){expr[tail:]}"
 
 
@@ -1333,22 +1349,88 @@ def _like_pattern_to_sql(seg: str) -> str:
     return quote + "".join(out) + quote
 
 
+_LIKE_LIST_RE = re.compile(r"\b(NOT\s+)?(LIKE|RLIKE)\s*\(", re.I)
+
+
+def _expand_like_lists(s: str) -> str:
+    """ES|QL 8.16+ pattern lists: ``x LIKE ("a*", "b*")`` matches if ANY
+    pattern matches. Expanded to ``(x LIKE "a*" OR x LIKE "b*")``
+    (``NOT`` negates the whole disjunction) so the per-pattern wildcard
+    translation and Spark's binary LIKE see only the classic form.
+    Only parenthesized lists of plain string literals are expanded —
+    anything else (e.g. a function call that happens to follow LIKE in
+    a string) is left alone."""
+    while True:
+        match_open, str_open, _ = _scan_structure(s)
+        open_close = {o: c for c, o in match_open.items()}
+        q = _QuoteState()
+        hit = None
+        for m in _LIKE_LIST_RE.finditer(s):
+            # quote check: feed up to the match start
+            q = _QuoteState()
+            for ch in s[: m.start()]:
+                q.feed(ch)
+            if q.in_quote:
+                continue
+            open_at = m.end() - 1
+            close_at = open_close.get(open_at)
+            if close_at is None:
+                continue
+            parts = [p.strip() for p in _split_commas(s[open_at + 1 : close_at])]
+            if len(parts) < 2 or any(
+                _string_literal_of(p) is None
+                and not (p.startswith('"') and p.endswith('"'))
+                for p in parts
+            ):
+                continue  # not a pattern list
+            hit = (m, open_at, close_at, parts)
+            break
+        if hit is None:
+            return s
+        m, open_at, close_at, parts = hit
+        j = m.start()
+        while j > 0 and s[j - 1].isspace():
+            j -= 1
+        start = _operand_start(s, j, match_open, str_open)
+        if start == j:
+            raise EsqlValidationError(
+                f"{m.group(2).upper()} pattern list has no operand"
+            )
+        operand = s[start:j]
+        kw = m.group(2).upper()
+        core = " OR ".join(f"{operand} {kw} {p}" for p in parts)
+        repl = f"NOT (({core}))" if m.group(1) else f"(({core}))"
+        s = s[:start] + repl + s[close_at + 1 :]
+
+
 def _translate_like_patterns(s: str) -> str:
     """Rewrite the string literal following each unquoted LIKE keyword
-    from ES|QL wildcard syntax to SQL LIKE syntax."""
+    from ES|QL wildcard syntax to SQL LIKE syntax, and anchor the
+    pattern following each RLIKE: ES|QL RLIKE matches the ENTIRE string
+    (Lucene regexp semantics, same as the template engine's Regexp
+    node) while Spark's rlike is an unanchored search — wrap as
+    ``^(?:...)$`` so `"a.*"` stops matching 'banana'."""
+    s = _expand_like_lists(s)
     segs = _quote_segments(s)
     out = []
-    pending = False
+    pending: str | None = None
     for quoted, seg in segs:
-        if quoted and pending:
+        if quoted and pending == "like":
             out.append(_like_pattern_to_sql(seg))
-            pending = False
+            pending = None
+            continue
+        if quoted and pending == "rlike":
+            quote, inner = seg[0], seg[1:-1]
+            out.append(f"{quote}^(?:{inner})${quote}")
+            pending = None
             continue
         if not quoted:
-            if re.search(r"\bLIKE\s*$", seg, re.I):
-                pending = True
+            if re.search(r"\bRLIKE\s*$", seg, re.I):
+                pending = "rlike"
+            elif re.search(r"\bLIKE\s*$", seg, re.I):
+                pending = "like"
             elif seg.strip():
-                pending = False
+                pending = None
         out.append(seg)
     return "".join(out)
 

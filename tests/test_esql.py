@@ -1108,6 +1108,30 @@ def test_new_mv_functions(spark):
                  tables={"t": odd})
 
 
+def test_like_lists_and_rlike_anchoring(spark):
+    """ES|QL 8.16+ pattern lists (`LIKE ("a*", "b*")` = any-of, NOT
+    negates the disjunction) and RLIKE's full-string anchoring (Lucene
+    regexp semantics; Spark's bare rlike is an unanchored search and
+    would let "a.*" match 'banana')."""
+    df = spark.createDataFrame(
+        [(1, "apple"), (2, "banana"), (3, "cherry")], "id long, s string"
+    )
+
+    def ids(q):
+        return sorted(
+            r["id"] for r in run_esql(spark, q, tables={"t": df}).collect()
+        )
+
+    assert ids('FROM t | WHERE s LIKE ("a*", "b*")') == [1, 2]
+    assert ids('FROM t | WHERE NOT s LIKE ("a*", "b*")') == [3]
+    assert ids('FROM t | WHERE s RLIKE ("a.*", ".*rr.*")') == [1, 3]
+    assert ids('FROM t | WHERE s RLIKE "a.*"') == [1]  # anchored
+    # classic single-pattern forms unchanged; quoted parens stay inert
+    assert ids('FROM t | WHERE s LIKE "b*"') == [2]
+    assert ids("FROM t | WHERE CONCAT(s, 'LIKE (x, y)') LIKE \"apple*\"") \
+        == [1]
+
+
 def test_fulltext_functions(spark):
     """ES|QL full-text surface: MATCH (analyzed token overlap, optional
     'and' operator), MATCH_PHRASE (consecutive in-order tokens), and

@@ -72,6 +72,10 @@ WHERES = [
     ("grp == 'a' OR n > 80", "grp = 'a' OR n > 80"),
     # ES|QL LIKE wildcard is *, SQL's is % — the pair encodes the dialect gap
     ("txt LIKE 'd*'", "txt LIKE 'd%'"),
+    # pattern lists (8.16+) = any-of; RLIKE anchors the whole string
+    ("txt LIKE ('d*', 'e*')", "(txt LIKE 'd%' OR txt LIKE 'e%')"),
+    ("NOT txt LIKE ('d*', 'e*')", "NOT (txt LIKE 'd%' OR txt LIKE 'e%')"),
+    ("txt RLIKE 'd.*'", "regexp_full_match(txt, 'd.*')"),
     ("NOT (n >= 40) AND val IS NOT NULL", "NOT (n >= 40) AND val IS NOT NULL"),
     ("n > 10 AND n < 90", "n > 10 AND n < 90"),
 ]
