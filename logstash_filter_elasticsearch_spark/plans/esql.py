@@ -1804,7 +1804,18 @@ def _run_stages(
             df = df.drop(*_expand_col_patterns(df, _split_commas(body)))
         elif cmd == "RENAME":
             for item in _split_commas(body):
-                old, new = re.split(r"\s+AS\s+", item, flags=re.I)
+                # two spellings: `old AS new` (classic) and `new = old`
+                # (ES|QL 9.1+)
+                parts = re.split(r"\s+AS\s+", item, flags=re.I)
+                if len(parts) == 2:
+                    old, new = parts
+                elif "=" in item:
+                    new, old = item.split("=", 1)
+                else:
+                    raise EsqlValidationError(
+                        f"RENAME items must be `old AS new` or "
+                        f"`new = old`, got {item.strip()!r}"
+                    )
                 df = df.withColumnRenamed(old.strip(), new.strip())
         elif cmd == "EVAL":
             for item in _split_commas(body):
@@ -2292,9 +2303,19 @@ def _apply_enrich(df: DataFrame, body: str, registry: dict[str, DataFrame]) -> D
     cols: list = []
     if with_clause:
         for item in _split_commas(with_clause):
-            parts = re.split(r"\s+AS\s+", item.strip(), flags=re.I)
-            src = parts[0].strip()
-            dest = parts[1].strip() if len(parts) > 1 else src
+            # ES|QL spelling: `WITH new_name = policy_field` (plus the
+            # bare field, and `src AS dest` kept for compatibility)
+            item = item.strip()
+            if "=" in item:
+                dest, src = (p.strip() for p in item.split("=", 1))
+            else:
+                parts = re.split(r"\s+AS\s+", item, flags=re.I)
+                src = parts[0].strip()
+                dest = parts[1].strip() if len(parts) > 1 else src
+            if src not in lk.columns:
+                raise EsqlValidationError(
+                    f"enrich policy {policy!r} has no field {src!r}"
+                )
             cols.append(F.col(src).alias(dest))
     else:
         cols = [F.col(c) for c in lk.columns if c != key]

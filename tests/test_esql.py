@@ -1108,6 +1108,28 @@ def test_new_mv_functions(spark):
                  tables={"t": odd})
 
 
+def test_rename_eq_and_enrich_with_eq(spark):
+    """The `new = old` spellings: RENAME (ES|QL 9.1+) and ENRICH ...
+    WITH new_name = policy_field (the standard ES|QL form); malformed
+    items and unknown policy fields fail with clear messages."""
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    lk = spark.createDataFrame([("a", "x")], "s string, label string")
+    out = run_esql(
+        spark,
+        "FROM t | ENRICH lk ON s WITH tag = label | RENAME ident = id",
+        tables={"t": df, "lk": lk},
+    )
+    assert out.columns == ["ident", "s", "tag"]
+    assert out.collect()[0]["tag"] == "x"
+    with pytest.raises(EsqlValidationError, match="no field 'nope'"):
+        run_esql(
+            spark, "FROM t | ENRICH lk ON s WITH nope",
+            tables={"t": df, "lk": lk},
+        )
+    with pytest.raises(EsqlValidationError, match="old AS new"):
+        run_esql(spark, "FROM t | RENAME id", tables={"t": df})
+
+
 def test_like_lists_and_rlike_anchoring(spark):
     """ES|QL 8.16+ pattern lists (`LIKE ("a*", "b*")` = any-of, NOT
     negates the disjunction) and RLIKE's full-string anchoring (Lucene
