@@ -970,6 +970,16 @@ def _translate_expr(expr: str) -> str:
             out.append("=")
             pos += 2
             continue
+        if ch == "[":
+            # ES|QL multivalue literal [a, b, c] -> array(a, b, c)
+            # (brackets have no other unquoted meaning in this dialect)
+            out.append("array(")
+            pos += 1
+            continue
+        if ch == "]":
+            out.append(")")
+            pos += 1
+            continue
         out.append(ch)
         pos += 1
     return "".join(out)
@@ -1001,16 +1011,17 @@ def _split_pipes(query: str) -> list[str]:
 
 
 def _split_commas(s: str) -> list[str]:
-    """Split on top-level commas (not inside parens or quotes)."""
+    """Split on top-level commas (not inside parens, brackets — ES|QL
+    multivalue literals ``[1, 2, 3]`` — or quotes)."""
     parts, buf, depth = [], [], 0
     q = _QuoteState()
     for ch in s:
         if q.in_quote:
             buf.append(ch)
-        elif ch == "(":
+        elif ch in "([":
             depth += 1
             buf.append(ch)
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
             buf.append(ch)
         elif ch == "," and depth == 0:

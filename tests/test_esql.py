@@ -1108,6 +1108,20 @@ def test_new_mv_functions(spark):
                  tables={"t": odd})
 
 
+def test_multivalue_literals(spark):
+    """ES|QL multivalue literals `[a, b, c]` compile to array() and
+    feed the MV_* family and MV_EXPAND; commas inside brackets are not
+    item separators."""
+    out = run_esql(
+        spark,
+        "ROW a = [1, 2, 3], b = ['x', 'y'] "
+        "| EVAL s = MV_SUM(a), j = MV_CONCAT(b, '-') | MV_EXPAND a",
+        tables={},
+    ).collect()
+    assert [r["a"] for r in out] == [1, 2, 3]
+    assert out[0]["s"] == 6.0 and out[0]["j"] == "x-y"
+
+
 def test_rename_eq_and_enrich_with_eq(spark):
     """The `new = old` spellings: RENAME (ES|QL 9.1+) and ENRICH ...
     WITH new_name = policy_field (the standard ES|QL form); malformed
