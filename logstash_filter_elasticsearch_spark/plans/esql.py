@@ -250,8 +250,34 @@ _CUSTOM_FNS = {
     "FROM_BASE64", "SHA256", "HASH", "IP_PREFIX",
     "TAU", "SCALB", "ROUND_TO", "MV_PERCENTILE",
     "MV_MEDIAN_ABSOLUTE_DEVIATION",
-    "MATCH", "MATCH_PHRASE",
+    "MATCH", "MATCH_PHRASE", "DATE_TRUNC",
 }
+
+_DURATION_RE = re.compile(
+    r"\b(\d+)\s+(millisecond|second|minute|hour|day|week|month|quarter"
+    r"|year)s?\b",
+    re.I,
+)
+
+
+def _rewrite_durations(s: str) -> str:
+    """ES|QL temporal literals (``ts + 3 hours``, ``NOW() - 1 day``) ->
+    Spark interval literals (``INTERVAL 3 HOUR``). Applied AFTER
+    function translation so duration-consuming functions (BUCKET,
+    DATE_TRUNC) have already swallowed their span arguments; quoted
+    strings are never touched. QUARTER isn't a Spark interval unit ->
+    3N months."""
+
+    def sub(seg: str) -> str:
+        def repl(m: re.Match) -> str:
+            n, unit = int(m.group(1)), m.group(2).upper()
+            if unit == "QUARTER":
+                return f"INTERVAL {3 * n} MONTH"
+            return f"INTERVAL {n} {unit}"
+
+        return _DURATION_RE.sub(repl, seg)
+
+    return _sub_outside_quotes(s, sub)
 
 # the SQL spelling of template._analyze (standard-analyzer
 # approximation: lowercase, split on non-letter/non-digit runs, drop
@@ -368,6 +394,25 @@ def _translate_call(fn: str, args: list[str]) -> str:
     if fn == "MV_LAST":
         arity(1)
         return f"try_element_at({args[0]}, -1)"
+    if fn == "DATE_TRUNC":
+        # ES|QL spelling: DATE_TRUNC(1 day, ts) — duration first. A
+        # bare/quoted unit word ('day', week) truncates calendar-style;
+        # any 'N unit' duration delegates to BUCKET's fixed-span floor
+        # (identical rounding semantics, span-first swapped to
+        # field-first).
+        arity(2)
+        span = args[0].strip()
+        unq = span[1:-1].strip() if (
+            len(span) >= 2 and span[0] in "'\"" and span[-1] == span[0]
+        ) else span
+        if re.fullmatch(
+            r"(millisecond|second|minute|hour|day|week|month|quarter"
+            r"|year)s?",
+            unq,
+            re.I,
+        ):
+            return f"date_trunc('{unq.rstrip('sS')}', {args[1]})"
+        return _translate_call("BUCKET", [args[1], args[0]])
     if fn == "BUCKET":
         # BUCKET(field, span): fixed-span histogram key. Span forms:
         # * '1 <unit>'  -> calendar date_trunc (minute..year)
@@ -1107,12 +1152,12 @@ def _stats_agg_expr(item: str):
     # same full translation stack as _compile_expr (LIKE patterns
     # included) — a LIKE in a per-aggregate filter must behave exactly
     # like a LIKE in a WHERE stage
-    agg = _rewrite_div_mod(
+    agg = _rewrite_durations(_rewrite_div_mod(
         _translate_expr(_translate_like_patterns(item[:where_at].strip()))
-    )
-    cond = _rewrite_div_mod(
+    ))
+    cond = _rewrite_durations(_rewrite_div_mod(
         _translate_expr(_translate_like_patterns(item[where_at + 5 :].strip()))
-    )
+    ))
     return F.expr(f"{agg} FILTER (WHERE {cond})")
 
 
@@ -1449,7 +1494,11 @@ def _translate_like_patterns(s: str) -> str:
 def _compile_expr(s: str):
     """ES|QL expression -> Spark Column (LIKE-pattern + operator
     translation + div/mod rewrite)."""
-    return F.expr(_rewrite_div_mod(_translate_expr(_translate_like_patterns(s))))
+    return F.expr(
+        _rewrite_durations(
+            _rewrite_div_mod(_translate_expr(_translate_like_patterns(s)))
+        )
+    )
 
 
 def _parse_stats_body(body: str) -> tuple[list, list[tuple[str, str | None]]]:

@@ -1108,6 +1108,43 @@ def test_new_mv_functions(spark):
                  tables={"t": odd})
 
 
+def test_temporal_duration_literals(spark):
+    """ES|QL temporal literals: duration arithmetic (`ts + 3 hours`,
+    `NOW() - 1 day`) compiles to Spark intervals, DATE_TRUNC takes the
+    dialect's `(1 day, ts)` form (multi-unit spans epoch-floor like
+    BUCKET), quarters map to 3 months, and quoted strings stay inert."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, "2024-06-01 10:34:56")], "id long, tss string"
+    )
+    r = run_esql(
+        spark,
+        "FROM t | EVAL ts = TO_DATETIME(tss), plus3h = ts + 3 hours, "
+        "minus2w = ts - 2 weeks, q = ts + 1 quarter, "
+        "d = DATE_TRUNC(1 day, ts), h6 = DATE_TRUNC(6 hours, ts), "
+        "w = DATE_TRUNC(1 week, ts), "
+        "spark_form = DATE_TRUNC('day', ts), "
+        "inert = CONCAT(tss, ' 3 hours ')",
+        tables={"t": df},
+    ).collect()[0]
+    assert r["plus3h"] == dt.datetime(2024, 6, 1, 13, 34, 56)
+    assert r["minus2w"] == dt.datetime(2024, 5, 18, 10, 34, 56)
+    assert r["q"] == dt.datetime(2024, 9, 1, 10, 34, 56)
+    assert r["d"] == dt.datetime(2024, 6, 1, 0, 0)
+    assert r["h6"] == dt.datetime(2024, 6, 1, 6, 0)
+    assert r["w"] == dt.datetime(2024, 5, 27, 0, 0)  # Monday
+    assert r["spark_form"] == r["d"]
+    assert r["inert"].endswith(" 3 hours ")  # quoted text untouched
+    # durations filter against NOW()
+    n = run_esql(
+        spark,
+        "FROM t | EVAL ts = TO_DATETIME(tss) | WHERE ts > NOW() - 1 hour",
+        tables={"t": df},
+    ).count()
+    assert n == 0  # 2024 is long past
+
+
 def test_multivalue_literals(spark):
     """ES|QL multivalue literals `[a, b, c]` compile to array() and
     feed the MV_* family and MV_EXPAND; commas inside brackets are not
