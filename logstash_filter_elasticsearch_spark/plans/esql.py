@@ -253,6 +253,34 @@ _CUSTOM_FNS = {
     "MATCH", "MATCH_PHRASE", "DATE_TRUNC",
 }
 
+def _convert_triple_quotes(query: str) -> str:
+    """ES|QL triple-quoted RAW strings (``\"\"\"pattern\"\"\"``: no
+    escape processing, cannot contain ``\"\"\"``) -> ordinary
+    double-quoted literals with the content backslash-escaped, applied
+    on the raw statement BEFORE any other scanning so every downstream
+    quote tracker sees only normal strings. A ``\"\"\"`` inside a
+    normal string literal (``'\"\"\"'``) is data and stays put."""
+    out: list[str] = []
+    q = _QuoteState()
+    i = 0
+    while i < len(query):
+        if not q.in_quote and query.startswith('"""', i):
+            end = query.find('"""', i + 3)
+            if end < 0:
+                raise EsqlValidationError(
+                    "unterminated triple-quoted string literal"
+                )
+            raw = query[i + 3 : end]
+            escaped = raw.replace("\\", "\\\\").replace('"', '\\"')
+            out.append(f'"{escaped}"')
+            i = end + 3
+            continue
+        q.feed(query[i])
+        out.append(query[i])
+        i += 1
+    return "".join(out)
+
+
 _DURATION_RE = re.compile(
     r"\b(\d+)\s+(millisecond|second|minute|hour|day|week|month|quarter"
     r"|year)s?\b",
@@ -1617,18 +1645,7 @@ def run_esql(
 ) -> DataFrame:
     """Compile and run an ES|QL pipe statement as a DataFrame plan."""
     params = params or {}
-    # Reject a triple-quote only where it would OPEN a literal (scanner
-    # not inside a quote) — WHERE msg == '"""' is a valid single-quoted
-    # literal and passes. Checked positionally because the pairwise
-    # scanner would otherwise read """ as "" + " and hide the run.
-    _q = _QuoteState()
-    for _i, _ch in enumerate(query):
-        if not _q.in_quote and query.startswith('"""', _i):
-            raise EsqlValidationError(
-                "triple-quoted string literals are not supported; use a "
-                'single-quoted literal with \\" escapes'
-            )
-        _q.feed(_ch)
+    query = _convert_triple_quotes(query)
     validate_params(query, params)
     stages = _split_pipes(query)
     if not stages:
@@ -2112,11 +2129,19 @@ def _apply_fuse(df: DataFrame, body: str) -> DataFrame:
     return fused
 
 
+def _unescape_dq(s: str) -> str:
+    """Resolve backslash escapes of a double-quoted literal's raw text
+    (``\\"`` -> ``"``, ``\\\\`` -> ``\\``): GROK/DISSECT consume their
+    pattern literals directly rather than through Spark SQL, so the
+    unescaping Spark would do must happen here."""
+    return re.sub(r"\\(.)", r"\1", s)
+
+
 def _split_input_pattern(body: str) -> tuple[str, str]:
     m = re.match(r"^(\S+)\s+\"((?:[^\"\\]|\\.)*)\"\s*$", body, re.S)
     if not m:
         raise EsqlValidationError(f"expected: <input_column> \"pattern\", got {body!r}")
-    return m.group(1), m.group(2)
+    return m.group(1), _unescape_dq(m.group(2))
 
 
 def _apply_dissect(df: DataFrame, body: str) -> DataFrame:
@@ -2209,8 +2234,8 @@ def _split_input_pattern_options(body: str) -> tuple[str, tuple[str, str] | str]
             f"[APPEND_SEPARATOR=\"s\"], got {body!r}"
         )
     if m.group(3) is not None:
-        return m.group(1), (m.group(2), m.group(3))
-    return m.group(1), m.group(2)
+        return m.group(1), (_unescape_dq(m.group(2)), _unescape_dq(m.group(3)))
+    return m.group(1), _unescape_dq(m.group(2))
 
 
 # grok base patterns: the subset exercised by logstash-style pipelines

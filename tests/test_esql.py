@@ -516,8 +516,11 @@ def test_review_fixes_quoting_and_functions(spark, esql_docs):
         run_esql(spark, "ROW s = MV_SORT(SPLIT('a b', ' '), 'SIDEWAYS')", tables={})
     with pytest.raises(EsqlValidationError, match="NULLS"):
         run_esql(spark, "FROM my_index | SORT type NULLS", tables=esql_docs)
-    with pytest.raises(EsqlValidationError, match="triple-quoted"):
-        run_esql(spark, 'FROM my_index | WHERE message == """x"""', tables=esql_docs)
+    # triple-quoted literals are raw strings (r5): equality on data
+    out = run_esql(
+        spark, 'FROM my_index | WHERE message == """x"""', tables=esql_docs
+    )
+    assert out.count() == 0  # no message is literally "x"
 
 
 def test_rows_to_target_json_deterministic_order(spark):
@@ -595,16 +598,34 @@ def test_mv_first_last_empty_array(spark):
     ]
 
 
-def test_triple_quote_inside_literal_allowed(spark):
-    """The triple-quote rejection is position-aware: three double
-    quotes INSIDE a single-quoted literal are data, not syntax."""
+def test_triple_quote_literals(spark):
+    """Triple-quoted literals are RAW strings (no escape processing,
+    r5): backslashes and embedded quotes pass through to GROK/RLIKE
+    verbatim; three double quotes INSIDE a single-quoted literal stay
+    data; an unterminated run fails clearly."""
     df = spark.createDataFrame([('"""',), ("x",)], "msg string")
     out = run_esql(
         spark, "FROM t | WHERE msg == '\"\"\"'", tables={"t": df}
     ).collect()
     assert [r["msg"] for r in out] == ['"""']
-    with pytest.raises(EsqlValidationError, match="triple-quoted"):
-        run_esql(spark, 'FROM t | WHERE msg == """x"""', tables={"t": df})
+    out = run_esql(
+        spark, 'FROM t | WHERE msg == """x"""', tables={"t": df}
+    ).collect()
+    assert [r["msg"] for r in out] == ["x"]
+    raw = run_esql(
+        spark, 'FROM t | EVAL x = """a \\d+ "q" z""" | LIMIT 1',
+        tables={"t": df},
+    ).collect()[0]["x"]
+    assert raw == 'a \\d+ "q" z'  # backslash NOT an escape in raw form
+    g = spark.createDataFrame([('lvl="ERROR" code=7',)], "s string")
+    r = run_esql(
+        spark,
+        'FROM t | GROK s """lvl="%{LOGLEVEL:lvl}" code=%{NUMBER:c:int}"""',
+        tables={"t": g},
+    ).collect()[0]
+    assert r["lvl"] == "ERROR" and r["c"] == 7
+    with pytest.raises(EsqlValidationError, match="unterminated"):
+        run_esql(spark, 'FROM t | EVAL x = """oops', tables={"t": df})
 
 
 def test_inlinestats_appends_group_aggregates(spark):
