@@ -163,9 +163,48 @@ def _sub_outside_quotes(s: str, fn) -> str:
     return "".join(seg if quoted else fn(seg) for quoted, seg in _quote_segments(s))
 
 
+def normalize_params(params) -> dict:
+    """Accept the reference's array form (elasticsearch.rb:149-153,
+    463-481: ``query_params`` is a list of SINGLE-ENTRY dicts, merged)
+    alongside a plain dict. Duplicate names and multi-entry elements
+    fail exactly like the reference's config validation."""
+    if params is None:
+        return {}
+    if isinstance(params, dict):
+        return params
+    if isinstance(params, (list, tuple)):
+        merged: dict = {}
+        for item in params:
+            if not isinstance(item, dict) or len(item) != 1:
+                raise EsqlValidationError(
+                    "query_params array elements must be single-entry "
+                    f"dicts (name -> value), got {item!r}"
+                )
+            ((k, v),) = item.items()
+            if k in merged:
+                raise EsqlValidationError(
+                    f"duplicate query_params name {k!r}"
+                )
+            merged[k] = v
+        return merged
+    raise EsqlValidationError(
+        f"query_params must be a dict or a list of single-entry dicts, "
+        f"got {type(params).__name__}"
+    )
+
+
 def validate_params(query: str, params: dict) -> None:
     """Exact placeholder<->param matching (elasticsearch.rb:462-481).
-    Placeholders inside string literals are literal text, not params."""
+    Placeholders inside string literals are literal text, not params.
+    Bare positional placeholders (`?`, `?1`) are not part of the
+    reference's contract — named placeholders only."""
+    for quoted, seg in _quote_segments(query):
+        if not quoted and re.search(r"\?(?![A-Za-z_])", seg):
+            raise EsqlValidationError(
+                "positional placeholders (`?`, `?1`) are not supported; "
+                "use named placeholders (`?name`) with query_params, as "
+                "the reference plugin requires"
+            )
     placeholders: set[str] = set()
     for quoted, seg in _quote_segments(query):
         if not quoted:
@@ -1644,7 +1683,7 @@ def run_esql(
     tables: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Compile and run an ES|QL pipe statement as a DataFrame plan."""
-    params = params or {}
+    params = normalize_params(params)
     query = _convert_triple_quotes(query)
     validate_params(query, params)
     stages = _split_pipes(query)

@@ -1129,6 +1129,35 @@ def test_new_mv_functions(spark):
                  tables={"t": odd})
 
 
+def test_query_params_array_form(spark):
+    """The reference's query_params array form (list of single-entry
+    dicts, elasticsearch.rb:149-153,463-481) merges to named params;
+    multi-entry elements, duplicates, and bare positional placeholders
+    fail with the reference's validation semantics."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    r = run_esql(
+        spark,
+        "FROM t | WHERE s == ?name",
+        params=[{"name": "a"}],
+        tables={"t": df},
+    ).collect()
+    assert [x["id"] for x in r] == [1]
+    with pytest.raises(EsqlValidationError, match="single-entry"):
+        run_esql(spark, "FROM t | WHERE id > ?n",
+                 params=[{"a": 1, "b": 2}], tables={"t": df})
+    with pytest.raises(EsqlValidationError, match="duplicate"):
+        run_esql(spark, "FROM t | WHERE id > ?n",
+                 params=[{"n": 1}, {"n": 2}], tables={"t": df})
+    with pytest.raises(EsqlValidationError, match="positional"):
+        run_esql(spark, "FROM t | WHERE id > ?",
+                 params=[{"n": 1}], tables={"t": df})
+    # '?' inside a string literal is data, not a placeholder
+    out = run_esql(
+        spark, "FROM t | EVAL q = CONCAT(s, '?') | KEEP q", tables={"t": df}
+    ).collect()
+    assert sorted(x["q"] for x in out) == ["a?", "b?"]
+
+
 def test_temporal_duration_literals(spark):
     """ES|QL temporal literals: duration arithmetic (`ts + 3 hours`,
     `NOW() - 1 day`) compiles to Spark intervals, DATE_TRUNC takes the
