@@ -1203,9 +1203,11 @@ def q_esql_date_trunc(spark, sf_dir):
     return run_esql(
         spark,
         "FROM events "
-        "| EVAL day = DATE_TRUNC('day', TO_DATETIME(ts)) "
-        "| EVAL day_s = DATE_FORMAT('yyyy-MM-dd', day) "
-        "| STATS cnt = count(*) BY day, day_s | SORT day | LIMIT 50",
+        "| EVAL day = DATE_TRUNC(1 day, TO_DATETIME(ts)) "
+        "| EVAL day_s = DATE_FORMAT('yyyy-MM-dd', day), "
+        "next_day = day + 1 day "
+        "| STATS cnt = count(*) BY day, day_s, next_day "
+        "| SORT day | LIMIT 50",
         tables=tables,
     )
 
@@ -2314,12 +2316,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "esql_date_trunc": """
             -- DuckDB date_trunc('day') yields DATE; cast back to
-            -- TIMESTAMP to match Spark's type
+            -- TIMESTAMP to match Spark's type. next_day exercises the
+            -- dialect's duration arithmetic (+ 1 day -> INTERVAL)
             SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
                    strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d')
                      AS day_s,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                        + INTERVAL 1 DAY AS TIMESTAMP) AS next_day,
                    count(*) AS cnt
-            FROM events GROUP BY 1, 2 ORDER BY day LIMIT 50
+            FROM events GROUP BY 1, 2, 3 ORDER BY day LIMIT 50
         """,
         "esql_cidr_match": """
             -- same masked-compare math as the Spark compilation:
