@@ -84,6 +84,28 @@ def with_word_shingles(
     return df.withColumn(out, word_shingles(F.col(text_col), n))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a too-coarse scan before expensive per-row work.
+
+    Guide §2.5 "input skew": a single-file (single-row-group) parquet
+    table scans as ONE task, so shingle extraction / hashing would run
+    on one core regardless of cluster size. Spreading the cheap raw
+    rows round-robin to the session's shuffle parallelism costs one
+    tiny shuffle of the text column and parallelizes everything
+    downstream. No-op when the input already has enough partitions
+    (e.g. the 64-file bench pipeline dataset), so well-laid-out tables
+    never pay an extra shuffle. Deterministic under retries (Spark
+    sorts before round-robin repartition, SPARK-23207).
+    """
+    spark = df.sparkSession
+    try:
+        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(target) if nparts * 4 <= target else df
+
+
 def _drop_heavy_keys(rows: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
     """Remove rows whose key appears in more than ``cap`` rows.
 
@@ -139,37 +161,31 @@ def ngram_jaccard_pairs(
     # * 64-bit shingle hash instead of the string as shuffle key
     #   (collision odds ~1e-9 at 1e5 distinct shingles).
     base = with_word_shingles(
-        df.select(F.col(id_col).alias("_id"), text_col), text_col, n
+        _spread(df.select(F.col(id_col).alias("_id"), text_col)), text_col, n
     )
     if df_cap is not None:
-        sh = base.select("_id", F.explode("_sh").alias("_shs")).select(
+        # the exploded (id, hash) rows feed three consumers (heavy-key
+        # count, post-filter sizes, postings); persist them so the
+        # regex extraction + explode runs once, not once per consumer
+        # (the r5 plan scanned+extracted the corpus 6x). Released by
+        # Spark's ContextCleaner when the caller drops the result.
+        from pyspark import StorageLevel
+
+        sh0 = base.select("_id", F.explode("_sh").alias("_shs")).select(
             "_id", F.xxhash64("_shs").alias("_sh")
         )
-        sh = _drop_heavy_keys(sh, ["_sh"], df_cap)
+        sh0 = sh0.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = _drop_heavy_keys(sh0, ["_sh"], df_cap)
         # post-filter set size as a per-doc aggregate (NOT a window:
         # count-over-window shuffles every exploded row uncombined;
-        # groupBy map-side-combines down to one row per doc). Sizes
-        # join back onto the PAIR table — far smaller than the
-        # exploded shingle table — below.
+        # groupBy map-side-combines down to one row per doc), attached
+        # back onto the exploded rows so the posting lists carry
+        # (id, sz) and the pair stream never needs a size join later
+        # (the r5 plan joined sizes onto an ~1e8-row pair table). AQE
+        # broadcasts `sizes` when it is small; at web scale it is a
+        # plain equi-join on the id.
         sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-        posting = sh.groupBy("_sh").agg(
-            F.collect_list("_id").alias("_ds")
-        ).filter(F.size("_ds") > 1)
-        pairs = (
-            posting.select(F.explode("_ds").alias("_ida"), "_ds")
-            .select("_ida", F.explode("_ds").alias("_idb"))
-            .filter(F.col("_ida") < F.col("_idb"))
-        )
-        common = pairs.groupBy(
-            F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b")
-        ).agg(F.count(F.lit(1)).alias("_common"))
-        common = common.join(
-            sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a")),
-            "id_a",
-        ).join(
-            sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b")),
-            "id_b",
-        )
+        sh = sh.join(sizes, "_id")
     else:
         # guard off: size rides along from F.size() — no extra shuffle
         sh = (
@@ -177,20 +193,63 @@ def ngram_jaccard_pairs(
             .select("_id", "_sz", F.explode("_sh").alias("_shs"))
             .select("_id", "_sz", F.xxhash64("_shs").alias("_sh"))
         )
-        posting = sh.groupBy("_sh").agg(
-            F.collect_list(F.struct("_id", "_sz")).alias("_ds")
-        ).filter(F.size("_ds") > 1)
-        pairs = (
-            posting.select(F.explode("_ds").alias("_a"), "_ds")
-            .select("_a", F.explode("_ds").alias("_b"))
-            .filter(F.col("_a._id") < F.col("_b._id"))
+    posting = sh.groupBy("_sh").agg(
+        F.array_sort(F.collect_list(F.struct("_id", "_sz"))).alias("_ds")
+    ).filter(F.size("_ds") > 1)
+    # Emit each unordered pair ONCE: posexplode the id-sorted posting
+    # list and inner-explode only the strict suffix. Generates exactly
+    # f(f-1)/2 rows per posting instead of the f^2 rows a double
+    # explode + id_a < id_b filter creates (measured ~10% off the
+    # whole query at sf1.0).
+    pairs = (
+        posting.select(F.posexplode("_ds").alias("_i", "_a"), "_ds")
+        .select(
+            "_a",
+            F.explode(
+                F.slice("_ds", F.col("_i") + 2, F.size("_ds"))
+            ).alias("_b"),
         )
-        common = pairs.groupBy(
+        # size-ratio prune BEFORE the shuffle: jaccard <= min/max (the
+        # overlap is at most the smaller set), and both sides of the
+        # comparison are the same IEEE double division the final
+        # jaccard uses, so no qualifying pair can be dropped (division
+        # is monotone). At threshold 0.5 this cuts ~25% of pair rows.
+        .filter(
+            F.least(F.col("_a._sz"), F.col("_b._sz"))
+            / F.greatest(F.col("_a._sz"), F.col("_b._sz"))
+            >= F.lit(float(threshold))
+        )
+        .select(
             F.col("_a._id").alias("id_a"),
             F.col("_b._id").alias("id_b"),
             F.col("_a._sz").alias("sz_a"),
             F.col("_b._sz").alias("sz_b"),
-        ).agg(F.count(F.lit(1)).alias("_common"))
+        )
+    )
+    # Counting stays a JVM hash aggregate: the pair stream is the
+    # structural cost (sum over shingles of f(f-1)/2 rows — 97M at
+    # sf1.0) and a vectorized-Python counter was measured STRICTLY
+    # worse (the JVM->Python Arrow boundary alone costs ~290ns/row =
+    # 28s for this stream, vs a few seconds for the codegen hash
+    # aggregate). Carrying sz in the grouping key means no size join
+    # ever touches the ~86M-row distinct-pair table (the r5 plan
+    # joined sizes onto it twice).
+    #
+    # The explicit high-count repartition keeps the aggregation maps
+    # small: with the session's default reducer count the ~86M distinct
+    # pairs meant ~2M-entry hash maps per task, which overflowed
+    # execution memory and spilled ~11 GB per aggregate stage (guide
+    # §5). 4x the session's shuffle parallelism puts the per-task map
+    # in the hundreds of thousands of entries — spill-free — and an
+    # explicit numPartitions is exempt from AQE coalescing (which
+    # would re-merge to 64 MB targets and reintroduce the spill).
+    # Scale-adaptive: derived from the session conf, not a constant.
+    n_agg = 4 * int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    common = pairs.repartition(n_agg, "id_a", "id_b").groupBy(
+        "id_a", "id_b", "sz_a", "sz_b"
+    ).agg(F.count(F.lit(1)).alias("_common"))
     jac = F.col("_common") / (F.col("sz_a") + F.col("sz_b") - F.col("_common"))
     return (
         common.withColumn("jaccard", jac)
