@@ -24,6 +24,7 @@ from logstash_filter_elasticsearch_spark.operators.aggregate import (
     salted_dedup_first,
 )
 from logstash_filter_elasticsearch_spark.operators.dedup import (
+    _spread,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -393,7 +394,7 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_token_counts(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).alias("ws_tokens"),
@@ -402,7 +403,7 @@ def q_token_counts(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select(
         "doc_id", F.md5(normalize_text(F.col("text"))).alias("fingerprint")
     )
@@ -410,7 +411,7 @@ def q_fingerprint(spark, sf_dir):
 
 def q_multimodal_meta(spark, sf_dir):
     """Binary-column plumbing: encode->binary, native byte metadata."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     payload = F.encode("text", "utf-8")
     return docs.select(
         "doc_id",
