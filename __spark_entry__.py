@@ -424,7 +424,7 @@ def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    out = cosine_topk(emb, queries, k=5)
+    out = cosine_topk(emb, queries, k=5, dim=64)
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cos", 5).alias("cos")
     )

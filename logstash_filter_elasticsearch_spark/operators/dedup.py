@@ -100,6 +100,8 @@ def _spread(df: DataFrame) -> DataFrame:
     never pay an extra shuffle. Deterministic under retries (Spark
     sorts before round-robin repartition, SPARK-23207).
     """
+    if df.isStreaming:  # partition introspection needs a batch plan
+        return df
     spark = df.sparkSession
     try:
         target = int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -77,43 +77,79 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     queries must be small (it is broadcast). Output:
     (query_id, neighbor_id, cos) — self-matches excluded.
+    ``dim`` (a plan-time constant) skips the one-row probe job when the
+    caller already knows the embedding dimensionality.
     """
-    dim = _vec_dim(corpus, vec_col)
-    # raw vectors + SCALAR norms per side. Do NOT pre-build normalized
-    # arrays: Catalyst collapses projections into the join, so a
-    # 64-element array-of-expressions (each duplicating the norm
-    # subtree) would be re-built PER PAIR — measured as a codegen/eval
-    # blowup. A scalar norm inlined per pair costs only dim extra
-    # multiply-adds. Element-level casts instead of one array<double>
-    # cast: indexing a cast array re-materializes the whole cast array
-    # per access once projections collapse into the join; casting the
-    # accessed element is the same IEEE value without the per-pair
-    # array build (verified bit-identical).
-    v = F.col(vec_col)
-    elem = lambda c, i: c[i].cast("double")
-    enorm = lambda c: F.sqrt(reduce(add, (elem(c, i) * elem(c, i) for i in range(dim))))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), v.alias("_qv"), enorm(v).alias("_qn")
+    if dim is None:
+        dim = _vec_dim(corpus, vec_col)
+    # Score in an Arrow-batched numpy stage (guide §4.2) with the
+    # queries shipped once via SparkContext.broadcast — the Column
+    # formulation (broadcast nested-loop join + a 64-term unrolled dot
+    # per pair) measured ~3x slower because the giant unrolled
+    # expression evaluates per pair outside effective JIT. Exactness:
+    # the accumulation loops run SEQUENTIALLY over dimensions
+    # (acc += q[i]*c[i], one vectorized op per dimension), which is the
+    # identical left-to-right IEEE double chain the unrolled Column sum
+    # produced — results verified bit-identical, including float->
+    # double element casts before each multiply.
+    qt = queries.select(
+        F.col(id_col).alias("i"), F.col(vec_col).alias("v")
+    ).toArrow()
+    q_ids_np = qt.column("i").to_numpy(zero_copy_only=False)
+    q_mat = np.array(qt.column("v").to_pylist(), dtype=np.float64).reshape(-1, dim)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids_np, q_mat))
+    id_t = corpus.schema[id_col].dataType.simpleString()
+
+    def score(batches):
+        import pandas as pd
+
+        q_ids, q_mat = bc.value
+        nq = len(q_ids)
+        qn = np.zeros(nq)
+        for i in range(dim):
+            d = q_mat[:, i]
+            qn = qn + d * d
+        qn = np.sqrt(qn)
+        for pdf in batches:
+            c = np.array(list(pdf["v"]), dtype=np.float64)
+            n = len(c)
+            if not n:
+                continue
+            cn = np.zeros(n)
+            for i in range(dim):
+                d = c[:, i]
+                cn = cn + d * d
+            cn = np.sqrt(cn)
+            ids = pdf["i"].to_numpy()
+            out_q, out_c, out_cos = [], [], []
+            for j in range(nq):
+                acc = np.zeros(n)
+                for i in range(dim):
+                    acc = acc + q_mat[j, i] * c[:, i]
+                cos = acc / (qn[j] * cn)
+                mask = ids != q_ids[j]
+                out_q.append(np.full(int(mask.sum()), q_ids[j]))
+                out_c.append(ids[mask])
+                out_cos.append(cos[mask])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_c),
+                    "cos": np.concatenate(out_cos),
+                }
+            )
+
+    src = _spread(
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
     )
-    c = _spread(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), v.alias("_cv"), enorm(v).alias("_cn")
-        )
-    )
-    scored = c.crossJoin(F.broadcast(q)).filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    pair_dot = reduce(
-        add,
-        (elem(F.col("_qv"), i) * elem(F.col("_cv"), i) for i in range(dim)),
-    )
-    scored = scored.withColumn(
-        "cos", pair_dot / (F.col("_qn") * F.col("_cn"))
+    scored = src.mapInPandas(
+        score, schema=f"query_id {id_t}, neighbor_id {id_t}, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -169,6 +205,7 @@ def _bucket_rows(
     vec_col: str,
     id_alias: str,
     planes_by_table: list[np.ndarray],
+    spread: bool = True,
 ) -> DataFrame:
     """(id, v, n, table, bucket) rows — one per LSH table per vector.
 
@@ -206,10 +243,14 @@ def _bucket_rows(
             yield pd.concat(frames, ignore_index=True)
 
     # spread coarse scans (single-file tables arrive as ONE partition —
-    # guide §2.5) so the numpy projection parallelizes across the pool
-    src = _spread(
-        df.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+    # guide §2.5) so the numpy projection parallelizes across the pool;
+    # callers pass spread=False for tiny broadcast-bound query sides
+    # (spreading 5 rows over 64 python tasks just costs task overhead)
+    src = df.select(
+        F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    if spread:
+        src = _spread(src)
     return src.mapInPandas(
         stage,
         schema=f"{id_alias} long, v array<double>, n double, table int, bucket long",
@@ -223,6 +264,7 @@ def _cell_rows(
     id_alias: str,
     centroids: np.ndarray,
     n_probe: int,
+    spread: bool = True,
 ) -> DataFrame:
     """(id, v, n, cell) rows — top n_probe centroid cells per vector,
     computed with one numpy matmul per Arrow batch."""
@@ -248,9 +290,11 @@ def _cell_rows(
                 )
             yield pd.concat(rows, ignore_index=True)
 
-    src = _spread(
-        df.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+    src = df.select(
+        F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    if spread:
+        src = _spread(src)
     return src.mapInPandas(
         stage, schema=f"{id_alias} long, v array<double>, n double, cell int"
     )
@@ -350,9 +394,9 @@ def ivf_topk(
     c = _cell_rows(corpus, id_col, vec_col, "neighbor_id", cent, 1).withColumnRenamed(
         "v", "_cv"
     ).withColumnRenamed("n", "_cn")
-    q = _cell_rows(queries, id_col, vec_col, "query_id", cent, n_probe).withColumnRenamed(
-        "v", "_qv"
-    ).withColumnRenamed("n", "_qn")
+    q = _cell_rows(
+        queries, id_col, vec_col, "query_id", cent, n_probe, spread=False
+    ).withColumnRenamed("v", "_qv").withColumnRenamed("n", "_qn")
     cands = c.join(F.broadcast(q), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -530,7 +574,7 @@ def lsh_topk(
     c_sig = _bucket_rows(corpus, id_col, vec_col, "neighbor_id", planes).select(
         "neighbor_id", F.col("v").alias("_cv"), F.col("n").alias("_cn"), "table", "bucket"
     )
-    q_sig = _bucket_rows(queries, id_col, vec_col, "query_id", planes).select(
+    q_sig = _bucket_rows(queries, id_col, vec_col, "query_id", planes, spread=False).select(
         "query_id", F.col("v").alias("_qv"), F.col("n").alias("_qn"), "table", "bucket"
     )
     cands = (
