@@ -199,7 +199,17 @@ def validate_params(query: str, params: dict) -> None:
     Bare positional placeholders (`?`, `?1`) are not part of the
     reference's contract — named placeholders only."""
     for quoted, seg in _quote_segments(query):
-        if not quoted and re.search(r"\?(?![A-Za-z_])", seg):
+        if quoted:
+            continue
+        if re.search(r"\?\?", seg):
+            # ES|QL identifier params (``??field``, 8.15+) are a
+            # distinct feature — name it, instead of the misleading
+            # positional-placeholder message
+            raise EsqlValidationError(
+                "identifier params (`??name`) are not supported; "
+                "interpolate the field name into the query text instead"
+            )
+        if re.search(r"\?(?![A-Za-z_])", seg):
             raise EsqlValidationError(
                 "positional placeholders (`?`, `?1`) are not supported; "
                 "use named placeholders (`?name`) with query_params, as "
@@ -356,13 +366,15 @@ _ANALYZE_SQL = (
 
 
 def _string_literal_of(expr: str) -> str | None:
-    """The Python value of a plain single-quoted SQL string literal, or
+    """The Python value of a plain quoted SQL string literal (either
+    quote style — ES|QL strings are canonically double-quoted), or
     None if ``expr`` is anything else."""
     e = expr.strip()
-    if len(e) >= 2 and e[0] == "'" and e[-1] == "'" and "\\" not in e:
-        inner = e[1:-1]
-        if "'" not in inner:
-            return inner
+    for q in ("'", '"'):
+        if len(e) >= 2 and e[0] == q and e[-1] == q and "\\" not in e:
+            inner = e[1:-1]
+            if q not in inner:
+                return inner
     return None
 _IPV4_RE = r"^(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])){3}$"
 # ES|QL DATE_EXTRACT takes java.time ChronoField names; map the common
@@ -649,16 +661,19 @@ def _translate_call(fn: str, args: list[str]) -> str:
         # deterministic and DuckDB-oracle-checkable, unlike Spark's
         # stddev_pop whose Welford merge order leaks into the low bits.
         # greatest(·, 0) clamps the tiny negative variance the closed
-        # form can produce on near-constant float inputs; try_divide
-        # keeps n==0 NULL (all-NULL group) and stays out of the int/int
-        # truncation rewrite.
+        # form can produce on near-constant float inputs. NULL for an
+        # empty (all-NULL) group needs an EXPLICIT count guard:
+        # Spark's greatest() SKIPS nulls, so greatest(NULL, 0.0) is
+        # 0.0, not NULL — try_divide's NULL must not be left to
+        # propagate through it.
         arity(1)
         xd = f"cast(({args[0]}) as double)"
         n = f"count({args[0]})"
         return (
+            f"if({n} = 0, cast(null as double), "
             f"sqrt(greatest(try_divide(sum({xd} * {xd}) - "
             f"try_divide(sum({xd}) * sum({xd}), {n}), {n}), "
-            f"cast(0 as double)))"
+            f"cast(0 as double))))"
         )
     if fn == "WEIGHTED_AVG":
         # sum(v*w)/sum(w), always double (explicit try_divide keeps it
@@ -799,7 +814,15 @@ def _translate_call(fn: str, args: list[str]) -> str:
         frac = f"({rank} - floor({rank}))"
         vlo = f"cast(try_element_at({srt}, {lo} + 1) as double)"
         vhi = f"cast(try_element_at({srt}, least({lo} + 2, {n})) as double)"
-        return f"(({vlo}) + ({frac}) * (({vhi}) - ({vlo})))"
+        # empty-array guard: n=0 makes lo=-1 and try_element_at(·, 0)
+        # aborts the whole query (INVALID_INDEX_OF_ZERO) even under
+        # try_ semantics — ES|QL returns NULL. A NULL array falls to
+        # the ELSE branch where every term NULL-propagates safely
+        # (lo is NULL, never -1).
+        return (
+            f"(case when {n} <= 0 then cast(null as double) "
+            f"else (({vlo}) + ({frac}) * (({vhi}) - ({vlo}))) end)"
+        )
     if fn == "MV_MEDIAN_ABSOLUTE_DEVIATION":
         # median(|v - median(values)|) over one row's multivalue. The
         # inner median reuses MV_MEDIAN's emission; the outer median
@@ -1486,14 +1509,18 @@ def _expand_like_lists(s: str) -> str:
     while True:
         match_open, str_open, _ = _scan_structure(s)
         open_close = {o: c for c, o in match_open.items()}
-        q = _QuoteState()
+        # quote parity computed ONCE per scan (O(n)); re-feeding a
+        # fresh _QuoteState over the full prefix per candidate match
+        # was O(n^2) per expansion
+        inq = bytearray(len(s) + 1)
+        qstate = _QuoteState()
+        for qi, qch in enumerate(s):
+            inq[qi] = int(qstate.in_quote)
+            qstate.feed(qch)
+        inq[len(s)] = int(qstate.in_quote)
         hit = None
         for m in _LIKE_LIST_RE.finditer(s):
-            # quote check: feed up to the match start
-            q = _QuoteState()
-            for ch in s[: m.start()]:
-                q.feed(ch)
-            if q.in_quote:
+            if inq[m.start()]:
                 continue
             open_at = m.end() - 1
             close_at = open_close.get(open_at)
@@ -1737,7 +1764,16 @@ def _run_stages(
         _set_probe_df(df)  # integer-division typing against this stage's input
 
         if cmd == "WHERE":
-            qm = re.match(r"^QSTR\(\s*'((?:[^'\\]|\\.)*)'\s*\)$", body, re.I)
+            # both quote styles: ES|QL strings are canonically
+            # double-quoted (and QSTR("""...""") becomes a
+            # double-quoted literal after triple-quote conversion);
+            # single quotes stay accepted for compatibility
+            qm = re.match(
+                r'^QSTR\(\s*(?:\'((?:[^\'\\]|\\.)*)\''
+                r'|"((?:[^"\\]|\\.)*)")\s*\)$',
+                body,
+                re.I,
+            )
             if qm:
                 # ES|QL QSTR('...') (8.17+): the whole Lucene
                 # query_string grammar (fields, AND/OR/NOT, ranges,
@@ -1747,7 +1783,11 @@ def _run_stages(
                 # additional WHERE stages (pipes AND together).
                 from .template import parse_query_string, to_column
 
-                node = parse_query_string(qm.group(1).replace("\\'", "'"))
+                if qm.group(1) is not None:
+                    raw = qm.group(1).replace("\\'", "'")
+                else:
+                    raw = qm.group(2).replace('\\"', '"')
+                node = parse_query_string(raw)
                 df = df.filter(to_column(node, lambda f: F.col(f)))
             elif re.search(r"\bQSTR\s*\(", body, re.I):
                 raise EsqlValidationError(

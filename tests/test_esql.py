@@ -1599,3 +1599,64 @@ def test_show_info(spark):
     assert out[0].asDict().keys() == {"version"}
     with pytest.raises(EsqlValidationError, match="must start with"):
         run_esql(spark, "SHOW FUNCTIONS", tables={})
+
+
+def test_stddev_all_null_group_is_null(spark):
+    """greatest() skips NULLs, so the all-NULL group needs an explicit
+    count guard: STD_DEV of a group with no values is NULL, not 0.0."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None), ("b", None)], "g string, v double"
+    )
+    out = {
+        r["g"]: r["sd"]
+        for r in run_esql(
+            spark, "FROM t | STATS sd = STD_DEV(v) BY g", tables={"t": df}
+        ).collect()
+    }
+    assert out["a"] == pytest.approx(1.0)
+    assert out["b"] is None
+
+
+def test_mv_percentile_empty_and_null_arrays(spark):
+    """An empty multivalue must yield NULL, not abort the query with
+    INVALID_INDEX_OF_ZERO; a NULL array also yields NULL."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, []), (3, None)],
+        "id int, vs array<double>",
+    )
+    out = {
+        r["id"]: r["p"]
+        for r in run_esql(
+            spark,
+            "FROM t | EVAL p = MV_PERCENTILE(vs, 50) | KEEP id, p",
+            tables={"t": df},
+        ).collect()
+    }
+    assert out[1] == pytest.approx(2.0)
+    assert out[2] is None
+    assert out[3] is None
+
+
+def test_qstr_double_quoted(spark, esql_docs):
+    """ES|QL strings are canonically double-quoted; QSTR must accept
+    both quote styles (and the triple-quote form reduces to double)."""
+    single = run_esql(
+        spark, "FROM my_index | WHERE QSTR('type:b')", tables=esql_docs
+    ).count()
+    double = run_esql(
+        spark, 'FROM my_index | WHERE QSTR("type:b")', tables=esql_docs
+    ).count()
+    triple = run_esql(
+        spark, 'FROM my_index | WHERE QSTR("""type:b""")', tables=esql_docs
+    ).count()
+    assert single == double == triple > 0
+
+
+def test_identifier_params_rejected_clearly(spark, esql_docs):
+    with pytest.raises(EsqlValidationError, match="identifier params"):
+        run_esql(
+            spark,
+            "FROM my_index | WHERE ??f == 'b'",
+            params={"f": "type"},
+            tables=esql_docs,
+        )
