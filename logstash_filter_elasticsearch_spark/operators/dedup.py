@@ -132,6 +132,132 @@ def _drop_heavy_keys(rows: DataFrame, key_cols: list[str], cap: int) -> DataFram
     return rows.join(F.broadcast(heavy), key_cols, "left_anti")
 
 
+def _block_pair_fn(n_blocks: int, threshold: float):
+    """applyInPandas body for ngram_jaccard_pairs: exact intersection
+    counts for one block pair, vectorized in numpy.
+
+    The group carries every doc of blocks (i, g) as (id, sz, sorted
+    shingle-hash array). Pair co-occurrences are generated as index
+    arrays (segment-cartesian over shared hashes), counted with one
+    sort-based unique, and only pairs that can reach the Jaccard
+    threshold are emitted — a few rows per task instead of the
+    f(f-1)/2-per-shingle pair stream the old plan shuffled (87M rows
+    at sf1.0). Counting per unordered pair happens in exactly one
+    block-pair task, so the union of all tasks' emissions is exact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "sz_a": pd.Series(dtype="int64"),
+            "sz_b": pd.Series(dtype="int64"),
+            "_common": pd.Series(dtype="int64"),
+        }
+    )
+
+    def fn(pdf):
+        if not len(pdf):
+            return empty
+        bp = int(pdf["_bp"].iloc[0])
+        i, g = divmod(bp, n_blocks)
+        ids = pdf["_id"].to_numpy(np.int64)
+        szs = pdf["_sz"].to_numpy(np.int64)
+        blks = pdf["_blk"].to_numpy(np.int64)
+        lists = pdf["_shl"].to_numpy()
+        lens = np.fromiter(
+            (len(a) for a in lists), dtype=np.int64, count=len(lists)
+        )
+        if i == g:
+            # intra-block: all unordered doc pairs sharing a hash,
+            # generated once each via within-segment suffix indices
+            flat = (
+                np.concatenate(lists).astype(np.int64, copy=False)
+                if len(lists)
+                else np.empty(0, np.int64)
+            )
+            drow = np.repeat(np.arange(len(ids)), lens)
+            order = np.argsort(flat, kind="stable")
+            codes, drow = flat[order], drow[order]
+            seg_start = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+            if not len(codes):
+                return empty
+            f = np.diff(np.r_[seg_start, len(codes)])
+            row_seg = np.repeat(np.arange(len(f)), f)
+            local = np.arange(len(codes)) - seg_start[row_seg]
+            rep = f[row_seg] - local - 1
+            tot = int(rep.sum())
+            if tot == 0:
+                return empty
+            a_rows = np.repeat(np.arange(len(codes)), rep)
+            cum0 = np.concatenate(([0], np.cumsum(rep)[:-1]))
+            b_rows = np.arange(tot) - np.repeat(cum0, rep) + a_rows + 1
+            da, db = drow[a_rows], drow[b_rows]
+            lo_i, hi_i = np.minimum(da, db), np.maximum(da, db)
+            key = lo_i * len(ids) + hi_i
+            uk, counts = np.unique(key, return_counts=True)
+            da, db = uk // len(ids), uk % len(ids)
+            ia, ib = ids[da], ids[db]
+            sa, sb = szs[da], szs[db]
+            swap = ia > ib
+            ida = np.where(swap, ib, ia)
+            idb = np.where(swap, ia, ib)
+            sza = np.where(swap, sb, sa)
+            szb = np.where(swap, sa, sb)
+        else:
+            am = blks == i
+            ids_a, szs_a, lens_a = ids[am], szs[am], lens[am]
+            ids_b, szs_b, lens_b = ids[~am], szs[~am], lens[~am]
+            if not len(ids_a) or not len(ids_b):
+                return empty
+            la, lb = lists[am], lists[~am]
+            flat_a = np.concatenate(la).astype(np.int64, copy=False)
+            flat_b = np.concatenate(lb).astype(np.int64, copy=False)
+            drow_a = np.repeat(np.arange(len(ids_a)), lens_a)
+            drow_b = np.repeat(np.arange(len(ids_b)), lens_b)
+            oa = np.argsort(flat_a, kind="stable")
+            ob = np.argsort(flat_b, kind="stable")
+            ca, drow_a = flat_a[oa], drow_a[oa]
+            cb, drow_b = flat_b[ob], drow_b[ob]
+            left = np.searchsorted(cb, ca, "left")
+            rep = np.searchsorted(cb, ca, "right") - left
+            tot = int(rep.sum())
+            if tot == 0:
+                return empty
+            a_rows = np.repeat(np.arange(len(ca)), rep)
+            cum0 = np.concatenate(([0], np.cumsum(rep)[:-1]))
+            b_pos = np.arange(tot) - np.repeat(cum0, rep) + np.repeat(left, rep)
+            da, db = drow_a[a_rows], drow_b[b_pos]
+            key = da * len(ids_b) + db
+            uk, counts = np.unique(key, return_counts=True)
+            da, db = uk // len(ids_b), uk % len(ids_b)
+            ia, ib = ids_a[da], ids_b[db]
+            sa, sb = szs_a[da], szs_b[db]
+            swap = ia > ib
+            ida = np.where(swap, ib, ia)
+            idb = np.where(swap, ia, ib)
+            sza = np.where(swap, sb, sa)
+            szb = np.where(swap, sa, sb)
+        # conservative prefilter (tiny slack): J >= t <=> common(1+t)
+        # >= t(sza+szb). The caller re-applies the exact double-
+        # division filter in Spark, so the slack only costs a few
+        # borderline rows, never correctness.
+        keep = counts * (1.0 + threshold) >= threshold * (sza + szb) - 1e-6
+        return pd.DataFrame(
+            {
+                "id_a": ida[keep],
+                "id_b": idb[keep],
+                "sz_a": sza[keep],
+                "sz_b": szb[keep],
+                "_common": counts[keep],
+            }
+        )
+
+    return fn
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -139,122 +265,96 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     df_cap: int | None = 10_000,
+    blocks: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram shingle sets.
 
-    Pair generation via an equi-join on shared shingles — i.e. only
-    pairs with non-zero intersection exist, and Catalyst shuffles on
-    the shingle hash. |A|,|B| ride along so Jaccard needs no second
-    join. Output: (id_a, id_b, jaccard) with id_a < id_b.
+    Output: (id_a, id_b, jaccard) with id_a < id_b — every pair whose
+    Jaccard over the (optionally df-capped) shingle universe reaches
+    ``threshold``.
+
+    Algorithm: block-pair intersection counting. Docs are hashed into
+    B blocks; each doc's (id, sz, sorted shingle-hash array) row is
+    replicated to its B block-pair groups, and one Arrow-batched numpy
+    task per block pair counts intersections for every co-occurring
+    doc pair of that pair of blocks (segment-cartesian index arrays +
+    one sort-based unique), emitting only rows that can reach the
+    threshold. The exact Jaccard filter is then re-applied in Spark.
+
+    Why this shape: counting |A∩B| fundamentally visits Σ_s f_s(f_s-1)/2
+    co-occurrences (87M at sf1.0 — docs drawn from a small vocabulary
+    co-occur densely), but the old posting-list plan SHUFFLED one row
+    per co-occurrence into a hash aggregate (~2.8 GB, the measured
+    bottleneck; guide §2.3 "shuffle keys and metadata, not payloads" —
+    here even the keys were the payload). Block replication shuffles
+    nnz x B rows instead (31M at sf1.0, B=12) and the quadratic work
+    happens inside numpy at memory speed, emitting ~2.5k rows. The
+    JVM->Python boundary carries doc arrays once, not per pair
+    (guide §4.2).
 
     ``df_cap``: stop-shingle cutoff — shingles occurring in more than
     df_cap documents are excluded from pair generation (standard
     near-dup practice: such shingles carry no similarity signal but
-    cost f^2/2 pairs and an f-element aggregation row). Set sizes are
-    recomputed AFTER the cutoff, so a dropped shingle leaves both the
-    intersection and the union: Jaccard stays exact over the reduced
-    shingle universe rather than being systematically underestimated
-    for documents containing stop-shingles. None disables the guard
-    (exact semantics over the full universe).
+    cost f^2/2 co-occurrences). Set sizes are recomputed AFTER the
+    cutoff, so a dropped shingle leaves both the intersection and the
+    union: Jaccard stays exact over the reduced shingle universe.
+    None disables the guard (exact semantics over the full universe).
+
+    ``blocks``: block count B; default derives from the session's
+    shuffle parallelism (block pairs ~ 2x reducers) so the same code
+    scales from local[2] to a cluster. Replication cost is nnz x B
+    rows; per-task memory is O(nnz/B + pairs-per-block-pair).
     """
-    # One evaluation of the shingle expression, total:
-    # * pair generation groups by shingle hash and double-explodes the
-    #   per-shingle posting list instead of a self-join (a self-join
-    #   re-evaluates the whole shingle subtree per side; measured 1.5x
-    #   end-to-end). Posting lists are bounded by document frequency;
-    #   a stop-shingle appearing in f docs costs f^2/2 pairs either way.
-    # * 64-bit shingle hash instead of the string as shuffle key
-    #   (collision odds ~1e-9 at 1e5 distinct shingles).
     base = with_word_shingles(
         _spread(df.select(F.col(id_col).alias("_id"), text_col)), text_col, n
     )
-    if df_cap is not None:
-        # the exploded (id, hash) rows feed three consumers (heavy-key
-        # count, post-filter sizes, postings); persist them so the
-        # regex extraction + explode runs once, not once per consumer
-        # (the r5 plan scanned+extracted the corpus 6x). Released by
-        # Spark's ContextCleaner when the caller drops the result.
-        from pyspark import StorageLevel
+    # Persist the UNEXPLODED (id, shingle-array) rows: Generate inlines
+    # a computed generator expression, so exploding straight off the
+    # regex projection re-evaluates the whole shingle extraction per
+    # OUTPUT row (measured 10.6s vs 0.35s behind a materialization
+    # barrier at sf1.0). The cache also serves both downstream
+    # consumers (heavy-key count + per-doc array build). Released by
+    # Spark's ContextCleaner when the caller drops the result.
+    from pyspark import StorageLevel
 
-        sh0 = base.select("_id", F.explode("_sh").alias("_shs")).select(
-            "_id", F.xxhash64("_shs").alias("_sh")
-        )
-        sh0 = sh0.persist(StorageLevel.MEMORY_AND_DISK)
-        sh = _drop_heavy_keys(sh0, ["_sh"], df_cap)
-        # post-filter set size as a per-doc aggregate (NOT a window:
-        # count-over-window shuffles every exploded row uncombined;
-        # groupBy map-side-combines down to one row per doc), attached
-        # back onto the exploded rows so the posting lists carry
-        # (id, sz) and the pair stream never needs a size join later
-        # (the r5 plan joined sizes onto an ~1e8-row pair table). AQE
-        # broadcasts `sizes` when it is small; at web scale it is a
-        # plain equi-join on the id.
-        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-        sh = sh.join(sizes, "_id")
-    else:
-        # guard off: size rides along from F.size() — no extra shuffle
-        sh = (
-            base.withColumn("_sz", F.size("_sh"))
-            .select("_id", "_sz", F.explode("_sh").alias("_shs"))
-            .select("_id", "_sz", F.xxhash64("_shs").alias("_sh"))
-        )
-    posting = sh.groupBy("_sh").agg(
-        F.array_sort(F.collect_list(F.struct("_id", "_sz"))).alias("_ds")
-    ).filter(F.size("_ds") > 1)
-    # Emit each unordered pair ONCE: posexplode the id-sorted posting
-    # list and inner-explode only the strict suffix. Generates exactly
-    # f(f-1)/2 rows per posting instead of the f^2 rows a double
-    # explode + id_a < id_b filter creates (measured ~10% off the
-    # whole query at sf1.0).
-    pairs = (
-        posting.select(F.posexplode("_ds").alias("_i", "_a"), "_ds")
-        .select(
-            "_a",
-            F.explode(
-                F.slice("_ds", F.col("_i") + 2, F.size("_ds"))
-            ).alias("_b"),
-        )
-        # size-ratio prune BEFORE the shuffle: jaccard <= min/max (the
-        # overlap is at most the smaller set), and both sides of the
-        # comparison are the same IEEE double division the final
-        # jaccard uses, so no qualifying pair can be dropped (division
-        # is monotone). At threshold 0.5 this cuts ~25% of pair rows.
-        .filter(
-            F.least(F.col("_a._sz"), F.col("_b._sz"))
-            / F.greatest(F.col("_a._sz"), F.col("_b._sz"))
-            >= F.lit(float(threshold))
-        )
-        .select(
-            F.col("_a._id").alias("id_a"),
-            F.col("_b._id").alias("id_b"),
-            F.col("_a._sz").alias("sz_a"),
-            F.col("_b._sz").alias("sz_b"),
-        )
+    arr = base.select("_id", "_sh").persist(StorageLevel.MEMORY_AND_DISK)
+    sh = arr.select("_id", F.explode("_sh").alias("_shs")).select(
+        "_id", F.xxhash64("_shs").alias("_sh")
     )
-    # Counting stays a JVM hash aggregate: the pair stream is the
-    # structural cost (sum over shingles of f(f-1)/2 rows — 97M at
-    # sf1.0) and a vectorized-Python counter was measured STRICTLY
-    # worse (the JVM->Python Arrow boundary alone costs ~290ns/row =
-    # 28s for this stream, vs a few seconds for the codegen hash
-    # aggregate). Carrying sz in the grouping key means no size join
-    # ever touches the ~86M-row distinct-pair table (the r5 plan
-    # joined sizes onto it twice).
-    #
-    # The explicit high-count repartition keeps the aggregation maps
-    # small: with the session's default reducer count the ~86M distinct
-    # pairs meant ~2M-entry hash maps per task, which overflowed
-    # execution memory and spilled ~11 GB per aggregate stage (guide
-    # §5). 4x the session's shuffle parallelism puts the per-task map
-    # in the hundreds of thousands of entries — spill-free — and an
-    # explicit numPartitions is exempt from AQE coalescing (which
-    # would re-merge to 64 MB targets and reintroduce the spill).
-    # Scale-adaptive: derived from the session conf, not a constant.
-    n_agg = 4 * int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    if df_cap is not None:
+        sh = _drop_heavy_keys(sh, ["_sh"], df_cap)
+    # one row per doc: post-cap size + sorted hash array (sort_array is
+    # cheap here — one ~sz-element sort per doc on the exploded agg)
+    docs_arr = sh.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_sz"),
+        F.sort_array(F.collect_list("_sh")).alias("_shl"),
     )
-    common = pairs.repartition(n_agg, "id_a", "id_b").groupBy(
-        "id_a", "id_b", "sz_a", "sz_b"
-    ).agg(F.count(F.lit(1)).alias("_common"))
+    if blocks is None:
+        import math
+
+        # B(B+1)/2 block-pair groups ~ 2x the session's reducer count:
+        # enough groups that hash collisions over reducers don't leave
+        # 2-3-group stragglers (measured: B=16 beats B=12 at 64
+        # reducers, and small B is actively bad — B=8 was 4x slower).
+        par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        blocks = max(1, math.isqrt(4 * par))
+    blk = F.pmod(F.xxhash64("_id"), F.lit(blocks)).cast("int")
+    bp_ids = F.array(
+        *[
+            F.least(F.col("_blk"), F.lit(j)) * blocks
+            + F.greatest(F.col("_blk"), F.lit(j))
+            for j in range(blocks)
+        ]
+    )
+    rep = (
+        docs_arr.withColumn("_blk", blk)
+        .withColumn("_bp", F.explode(bp_ids))
+        .select("_bp", "_blk", "_id", "_sz", "_shl")
+    )
+    common = rep.groupBy("_bp").applyInPandas(
+        _block_pair_fn(blocks, float(threshold)),
+        "id_a long, id_b long, sz_a long, sz_b long, _common long",
+    )
     jac = F.col("_common") / (F.col("sz_a") + F.col("sz_b") - F.col("_common"))
     return (
         common.withColumn("jaccard", jac)
@@ -276,9 +376,23 @@ def minhash_signatures(
     row but runs interpreted — higher-order functions don't codegen —
     and was ~100x slower on long documents.)
     """
-    sh = with_word_shingles(
-        _spread(df.select(F.col(id_col).alias("_id"), text_col)), text_col, shingle_n
-    ).select("_id", F.explode("_sh").alias("_s"))
+    # persist the unexploded arrays: exploding straight off the regex
+    # projection re-evaluates the shingle extraction per OUTPUT row
+    # (Generate inlines computed generator expressions; measured ~10x).
+    # The same cache is shared with the verify pass in
+    # minhash_lsh_pairs (identical plan -> CacheManager reuses it).
+    from pyspark import StorageLevel
+
+    arr = (
+        with_word_shingles(
+            _spread(df.select(F.col(id_col).alias("_id"), text_col)),
+            text_col,
+            shingle_n,
+        )
+        .select("_id", "_sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sh = arr.select("_id", F.explode("_sh").alias("_s"))
     mins = [
         F.min(F.xxhash64("_s", F.lit(i))).alias(f"_m{i}") for i in range(num_perm)
     ]
@@ -398,10 +512,17 @@ def simhash(
       the driver's SQL oracle can recompute the full fingerprint
       (see ``__spark_entry__.oracle_sql``).
     """
-    words = _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col))).select(
-        "_id",
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_w"),
+    # materialization barrier before the explode: Generate inlines the
+    # computed split(normalize(...)) array, re-running the regex
+    # normalization per OUTPUT word otherwise (measured ~10x at sf1.0)
+    from pyspark import StorageLevel
+
+    words_arr = (
+        _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        .select("_id", F.split(normalize_text(F.col(text_col)), " ").alias("_wl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    words = words_arr.select("_id", F.explode("_wl").alias("_w"))
     if hash_mode == "md5":
         words = words.withColumn("_hx", F.md5("_w"))
         chunk = [
