@@ -111,6 +111,28 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(target) if nparts * 4 <= target else df
 
 
+def _spread_by(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Hash-repartition a too-coarse scan by the given key columns.
+
+    Keyed sibling of ``_spread`` for inputs about to be grouped on
+    ``cols``: one exchange both parallelizes the downstream aggregate
+    and already satisfies its clustering requirement, so the groupBy
+    plans no second exchange (guide §2.4 "share one exchange").
+    No-op for well-partitioned inputs and streams.
+    """
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    try:
+        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if nparts * 4 > target:
+        return df
+    return df.repartition(target, *[F.col(c) for c in cols])
+
+
 def _drop_heavy_keys(rows: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
     """Remove rows whose key appears in more than ``cap`` rows.
 

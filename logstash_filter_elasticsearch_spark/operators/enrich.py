@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from logstash_filter_elasticsearch_spark.functions.fieldref import field_ref_to_path
+from logstash_filter_elasticsearch_spark.operators.dedup import _spread, _spread_by
 
 DEFAULT_FAILURE_TAG = "_elasticsearch_lookup_failure"  # elasticsearch.rb:133-134
 
@@ -166,6 +167,78 @@ class Enricher:
         elasticsearch.rb:43-44; docs/index.asciidoc:510-516)."""
         return hits_comparator(self._sort, getattr(self, "_sort_types", None))
 
+    def _minby_key(self):
+        """ASC-ordering struct equivalent to ``hits_comparator``, or
+        None when no exact equivalent exists.
+
+        Lets ``result_size=1`` use one declarative ``min_by`` (codegen
+        HashAggregate with EFFECTIVE partial aggregation: one struct
+        per key per map task) instead of collect_list + interpreted
+        array_sort, whose partial phase ships every row. Channel per
+        sort key, in spec order:
+
+        * ``_first``/``_last`` missing -> a null-rank int channel
+          (placement in the RESULT order, independent of direction —
+          exactly the comparator's branch), then the value;
+        * custom missing -> the comparator's own coalesce(value,
+          cast(missing)), no rank channel;
+        * direction desc -> an order-reversing bijection: bitwise NOT
+          for integral types (no overflow edge, unlike negation),
+          unix_micros/unix_date + NOT for timestamp/date, negation for
+          float/double/decimal with a NaN rank channel so Spark's
+          NaN-greatest total order maps to the comparator's
+          NaN-first-on-desc behavior.
+
+        Falls back (returns None) for desc on types with no such
+        bijection (e.g. strings) and when sorting is disabled/empty —
+        those keep the collect_list path.
+        """
+        from pyspark.sql import types as T
+
+        if not (self.spec.enable_sort and self._sort):
+            return None
+        channels = []
+        for s in self._sort:
+            path, direction = s[0], s[1]
+            missing = s[2] if len(s) > 2 else "_last"
+            desc = direction.lower().startswith("d")
+            dt = self._sort_types.get(path)
+            parts = field_ref_to_path(path).split(".")
+            v = F.col(parts[0])
+            for p in parts[1:]:
+                v = v[p]
+            if missing in ("_first", "_last"):
+                channels.append(
+                    F.when(v.isNull(), F.lit(-1 if missing == "_first" else 1))
+                    .otherwise(F.lit(0))
+                )
+            else:
+                v = F.coalesce(v, F.lit(missing).cast(dt) if dt is not None else F.lit(missing))
+            if not desc:
+                channels.append(v)
+                continue
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                channels.append(F.bitwise_not(v))
+            elif isinstance(dt, T.BooleanType):
+                channels.append(F.bitwise_not(v.cast("int")))
+            elif isinstance(dt, T.TimestampType):
+                channels.append(F.bitwise_not(F.unix_micros(v)))
+            elif isinstance(dt, T.DateType):
+                channels.append(F.bitwise_not(F.unix_date(v)))
+            elif isinstance(dt, (T.FloatType, T.DoubleType)):
+                # Spark totals NaN as greatest; the comparator's desc
+                # branch therefore puts NaN FIRST — rank it below all
+                # negated ordinary values
+                channels.append(
+                    F.when(F.isnan(v), F.lit(-1)).otherwise(F.lit(0))
+                )
+                channels.append(-v)
+            elif isinstance(dt, T.DecimalType):
+                channels.append(-v)
+            else:
+                return None
+        return F.struct(*[c.alias(f"_k{i}") for i, c in enumerate(channels)])
+
     def prepare_lookup(self, lookup: DataFrame) -> DataFrame:
         """Pre-aggregate the snapshot to ONE row per join key.
 
@@ -174,6 +247,13 @@ class Enricher:
         on the small side so the event table never shuffles.
         """
         spec = self.spec
+        # single-file lookup snapshots scan as ONE task, so the whole
+        # pre-aggregation (struct build + partial collect_list) would
+        # run on one core (guide §2.5 input skew); hash-spreading the
+        # raw rows BY THE JOIN KEY parallelizes it with one exchange
+        # that the groupBy then reuses (guide §2.4), and is a no-op for
+        # well-laid-out multi-file tables
+        lookup = _spread_by(lookup, [spec.lookup_key])
         # size-0 search (agg-only, spec elasticsearch_dsl_spec.rb:157-178)
         # or no copy mappings: skip hit collection entirely — the
         # broadcast payload shrinks to key + aggregates.
@@ -207,10 +287,18 @@ class Enricher:
                 self._sort_types[s[0]] = node
 
         aggs = [F.count(F.lit(1)).alias("_total_hits")]  # dsl_executor.rb:48
+        minkey = (
+            self._minby_key()
+            if self._has_hits and spec.result_size == 1
+            else None
+        )
         if self._has_hits:
             top_cols = [c for c in self._hit_paths() if c in present]
             hit_struct = F.struct(*[F.col(c).alias(c) for c in top_cols])
-            aggs.append(F.collect_list(hit_struct).alias("_hits_all"))
+            if minkey is not None:
+                aggs.append(F.min_by(hit_struct, minkey).alias("_top1"))
+            else:
+                aggs.append(F.collect_list(hit_struct).alias("_hits_all"))
         bucket_aggs: dict[str, tuple] = {}
         for dest, agg_spec in spec.aggregation_fields.items():
             fn, path = agg_spec[0], agg_spec[1]
@@ -298,11 +386,15 @@ class Enricher:
 
         if not self._has_hits:
             return grouped
-        hits = F.col("_hits_all")
-        if spec.enable_sort and self._sort:
-            hits = F.array_sort(hits, self._sort_comparator())
-        hits = F.slice(hits, 1, spec.result_size)
-        grouped = grouped.withColumn("_hits", hits).drop("_hits_all")
+        if minkey is not None:
+            # min_by fast path: the top-1 struct IS the sliced hit list
+            grouped = grouped.withColumn("_hits", F.array("_top1")).drop("_top1")
+        else:
+            hits = F.col("_hits_all")
+            if spec.enable_sort and self._sort:
+                hits = F.array_sort(hits, self._sort_comparator())
+            hits = F.slice(hits, 1, spec.result_size)
+            grouped = grouped.withColumn("_hits", hits).drop("_hits_all")
 
         # Extract every dest field ON THE SMALL SIDE. Higher-order
         # functions (transform) run interpreted — no whole-stage codegen
@@ -331,9 +423,20 @@ class Enricher:
         prepared = self.prepare_lookup(lookup)
         if spec.broadcast:
             prepared = F.broadcast(prepared)
+        # deliberately NOT spreading the event side: the broadcast-join
+        # probe + dest projection are pure codegen (~cheap per row), and
+        # a round-robin repartition of the events costs more than the
+        # single-task probe it parallelizes (measured 0.74s vs 1.63s at
+        # sf1.0 — the repartition pays sort-before-repartition plus a
+        # full shuffle of the big side, guide §2.4 "remove shuffles")
 
         key = F.col(spec.event_key) if isinstance(spec.event_key, str) else spec.event_key
-        joined = events.join(prepared, key.eqNullSafe(F.col("_join_key")) & key.isNotNull(), "left")
+        # plain equality, not eqNullSafe: with the isNotNull guard the
+        # match sets are identical (null event keys never match either
+        # way, and == never matches a null lookup group), but == lets
+        # the hash relation key on the bare column instead of the
+        # (coalesce, isnull) composite eqNullSafe compiles to
+        joined = events.join(prepared, (key == F.col("_join_key")) & key.isNotNull(), "left")
 
         agg_cols = list(spec.aggregation_fields)
         # matched = any hit OR any aggregation present
