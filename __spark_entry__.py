@@ -269,10 +269,18 @@ def q_terms_membership(spark, sf_dir):
 
 
 def q_topk_per_key(spark, sf_dir):
-    """B5: per-key top-k (result_size) via window row_number."""
+    """B5: per-key top-k (result_size) via window row_number.
+
+    The explicit keyed spread both parallelizes a single-file scan and
+    pins the window's exchange at the session parallelism — left to
+    ENSURE_REQUIREMENTS, AQE coalesces the ~20 MB shuffle to 1-2
+    partitions and the sort+window run nearly serial (measured 1.25s
+    -> 0.52s at sf1.0; guide §2.2 partition sizing)."""
     from pyspark.sql.window import Window
 
-    orders = _t(spark, sf_dir, "orders")
+    from logstash_filter_elasticsearch_spark.operators.dedup import _spread_by
+
+    orders = _spread_by(_t(spark, sf_dir, "orders"), ["o_custkey"])
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
