@@ -221,8 +221,13 @@ class Enricher:
                 channels.append(F.bitwise_not(v))
             elif isinstance(dt, T.BooleanType):
                 channels.append(F.bitwise_not(v.cast("int")))
-            elif isinstance(dt, T.TimestampType):
-                channels.append(F.bitwise_not(F.unix_micros(v)))
+            elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                # NTZ first casts to the instant type; the session zone
+                # is pinned UTC (session.py), so the cast is monotone
+                # AND injective (no DST fold)
+                channels.append(
+                    F.bitwise_not(F.unix_micros(v.cast("timestamp")))
+                )
             elif isinstance(dt, T.DateType):
                 channels.append(F.bitwise_not(F.unix_date(v)))
             elif isinstance(dt, (T.FloatType, T.DoubleType)):
