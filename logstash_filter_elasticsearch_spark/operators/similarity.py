@@ -216,45 +216,69 @@ def _bucket_rows(
     dense projections belong in BLAS. The stage is also a hard
     materialization barrier, so downstream joins reference real columns.
     """
-    import pandas as pd
+    import pyarrow as pa
 
     weights = [1 << i if i < 63 else -(1 << 63) for i in range(len(planes_by_table[0]))]
     wv = np.array(weights, dtype=np.int64)
+    dim = planes_by_table[0].shape[1]
 
+    # mapInArrow, not mapInPandas: the vector column rides THROUGH the
+    # stage (the candidate join re-ranks on it), and a pandas output
+    # pays a per-row object-array -> Arrow list conversion PER TABLE
+    # copy — measured as the dominant stage cost on small inputs. An
+    # Arrow batch reuses the input's id/vector buffers zero-copy in
+    # each per-table output batch; only n/table/bucket are newly built.
     def stage(batches):
-        for pdf in batches:
-            x = np.array(list(pdf["v"]), dtype=np.float64)
-            n = np.linalg.norm(x, axis=1)
-            frames = []
+        for b in batches:
+            if not b.num_rows:
+                continue
+            ids, v = b.column(0), b.column(1)
+            x = _list_to_matrix(v, b.num_rows, dim)
+            n = pa.array(np.linalg.norm(x, axis=1))
             for t, planes in enumerate(planes_by_table):
                 bits = (x @ planes.T) >= 0
                 buckets = bits.astype(np.int64) @ wv
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            id_alias: pdf["i"].to_numpy(),
-                            "v": pdf["v"],
-                            "n": n,
-                            "table": t,
-                            "bucket": buckets,
-                        }
-                    )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        v,
+                        n,
+                        pa.array(np.full(b.num_rows, t, dtype=np.int32)),
+                        pa.array(buckets),
+                    ],
+                    [id_alias, "v", "n", "table", "bucket"],
                 )
-            yield pd.concat(frames, ignore_index=True)
 
     # spread coarse scans (single-file tables arrive as ONE partition —
     # guide §2.5) so the numpy projection parallelizes across the pool;
     # callers pass spread=False for tiny broadcast-bound query sides
     # (spreading 5 rows over 64 python tasks just costs task overhead)
+    # id cast to long JVM-side: the Arrow batches pass through to the
+    # declared long output column unconverted, so the input vector type
+    # must already match (the old pandas path silently coerced)
     src = df.select(
-        F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v")
+        F.col(id_col).cast("long").alias("i"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
     if spread:
         src = _spread(src)
-    return src.mapInPandas(
+    return src.mapInArrow(
         stage,
         schema=f"{id_alias} long, v array<double>, n double, table int, bucket long",
     )
+
+
+def _list_to_matrix(v, num_rows: int, dim: int) -> np.ndarray:
+    """Arrow list<double> column -> (num_rows, dim) float64 matrix.
+
+    Zero-copy flatten when every row has exactly ``dim`` elements (the
+    operator contract); falls back to the per-row python path for
+    ragged/null inputs so error behavior matches the old pandas stage.
+    """
+    flat = v.flatten()
+    if len(flat) == num_rows * dim and v.null_count == 0:
+        return flat.to_numpy(zero_copy_only=False).reshape(num_rows, dim)
+    return np.array(v.to_pylist(), dtype=np.float64)
 
 
 def _cell_rows(
@@ -267,35 +291,36 @@ def _cell_rows(
     spread: bool = True,
 ) -> DataFrame:
     """(id, v, n, cell) rows — top n_probe centroid cells per vector,
-    computed with one numpy matmul per Arrow batch."""
-    import pandas as pd
+    computed with one numpy matmul per Arrow batch. mapInArrow so the
+    vector passthrough reuses the input buffers zero-copy per probe
+    copy (see _bucket_rows)."""
+    import pyarrow as pa
+
+    dim = centroids.shape[1]
 
     def stage(batches):
-        for pdf in batches:
-            x = np.array(list(pdf["v"]), dtype=np.float64)
+        for b in batches:
+            if not b.num_rows:
+                continue
+            ids, v = b.column(0), b.column(1)
+            x = _list_to_matrix(v, b.num_rows, dim)
             n = np.maximum(np.linalg.norm(x, axis=1), 1e-12)
+            na = pa.array(n)
             sims = (x / n[:, None]) @ centroids.T
             top = np.argsort(-sims, axis=1)[:, :n_probe]
-            rows = []
             for j in range(n_probe):
-                rows.append(
-                    pd.DataFrame(
-                        {
-                            id_alias: pdf["i"].to_numpy(),
-                            "v": pdf["v"],
-                            "n": n,
-                            "cell": top[:, j],
-                        }
-                    )
+                yield pa.RecordBatch.from_arrays(
+                    [ids, v, na, pa.array(top[:, j].astype(np.int32))],
+                    [id_alias, "v", "n", "cell"],
                 )
-            yield pd.concat(rows, ignore_index=True)
 
     src = df.select(
-        F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v")
+        F.col(id_col).cast("long").alias("i"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
     if spread:
         src = _spread(src)
-    return src.mapInPandas(
+    return src.mapInArrow(
         stage, schema=f"{id_alias} long, v array<double>, n double, cell int"
     )
 
