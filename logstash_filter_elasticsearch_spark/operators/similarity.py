@@ -325,6 +325,28 @@ def _cell_rows(
     )
 
 
+def _query_side_matrix(queries: DataFrame, id_col: str, vec_col: str):
+    """Driver-side (ids, float64 matrix, norms) of a SMALL query frame.
+
+    The query side of lsh_topk/ivf_topk is broadcast by contract, so
+    its signatures/cells don't need a distributed Python stage — a
+    per-query Arrow collect + numpy on the driver removes one
+    MapInArrow stage and its fixed worker-roundtrip latency from every
+    invocation (~0.2-0.3s, the dominant cost at small corpus sizes).
+    """
+    qt = queries.select(
+        F.col(id_col).cast("long").alias("i"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).toArrow()
+    ids = qt.column("i").to_numpy(zero_copy_only=False)
+    vchunk = qt.column("v").combine_chunks()
+    dim = len(vchunk[0]) if qt.num_rows else 0
+    x = _list_to_matrix(vchunk, qt.num_rows, dim).astype(np.float64, copy=False)
+    # raw norms — each caller applies (or skips) its stage's own clamp
+    n = np.linalg.norm(x, axis=1) if qt.num_rows else np.zeros(0)
+    return ids, x, n
+
+
 def _unit(a: Column, dim: int | None = None) -> Column:
     n = norm(a, dim)
     if dim:
@@ -419,9 +441,27 @@ def ivf_topk(
     c = _cell_rows(corpus, id_col, vec_col, "neighbor_id", cent, 1).withColumnRenamed(
         "v", "_cv"
     ).withColumnRenamed("n", "_cn")
-    q = _cell_rows(
-        queries, id_col, vec_col, "query_id", cent, n_probe, spread=False
-    ).withColumnRenamed("v", "_qv").withColumnRenamed("n", "_qn")
+    # query-side cells on the driver (the q frame is broadcast by
+    # contract): same numpy ops as _cell_rows, one less Python stage
+    q_ids, qx, qn_raw = _query_side_matrix(queries, id_col, vec_col)
+    qn = np.maximum(qn_raw, 1e-12)
+    sims = (qx / qn[:, None]) @ cent.T if len(q_ids) else np.zeros((0, len(cent)))
+    top = np.argsort(-sims, axis=1)[:, :n_probe]
+    import pandas as pd
+
+    q_pdf = pd.DataFrame(
+        {
+            "query_id": np.repeat(q_ids, n_probe),
+            "_qv": [
+                list(qx[i]) for i in range(len(q_ids)) for _ in range(n_probe)
+            ],
+            "_qn": np.repeat(qn, n_probe),
+            "cell": top.reshape(-1).astype(np.int32),
+        }
+    )
+    q = corpus.sparkSession.createDataFrame(
+        q_pdf, schema="query_id long, _qv array<double>, _qn double, cell int"
+    )
     cands = c.join(F.broadcast(q), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -612,8 +652,34 @@ def lsh_topk(
     c_sig = _bucket_rows(corpus, id_col, vec_col, "neighbor_id", planes).select(
         "neighbor_id", F.col("v").alias("_cv"), F.col("n").alias("_cn"), "table", "bucket"
     )
-    q_sig = _bucket_rows(queries, id_col, vec_col, "query_id", planes, spread=False).select(
-        "query_id", F.col("v").alias("_qv"), F.col("n").alias("_qn"), "table", "bucket"
+    # query-side signatures on the driver (the q frame is broadcast by
+    # contract): same numpy ops as _bucket_rows, one less Python stage
+    import pandas as pd
+
+    weights = [1 << i if i < 63 else -(1 << 63) for i in range(n_planes)]
+    wv = np.array(weights, dtype=np.int64)
+    q_ids, qx, qn = _query_side_matrix(queries, id_col, vec_col)
+    frames = []
+    for t, pl in enumerate(planes):
+        buckets = ((qx @ pl.T) >= 0).astype(np.int64) @ wv
+        frames.append(
+            pd.DataFrame(
+                {
+                    "query_id": q_ids,
+                    "_qv": [list(r) for r in qx],
+                    "_qn": qn,
+                    "table": np.full(len(q_ids), t, dtype=np.int32),
+                    "bucket": buckets,
+                }
+            )
+        )
+    q_sig = corpus.sparkSession.createDataFrame(
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(
+            {"query_id": [], "_qv": [], "_qn": [], "table": [], "bucket": []}
+        ),
+        schema="query_id long, _qv array<double>, _qn double, table int, bucket long",
     )
     cands = (
         c_sig.join(F.broadcast(q_sig), ["table", "bucket"])
