@@ -170,19 +170,94 @@ def _drop_heavy_keys(rows: DataFrame, key_cols: list[str], cap: int) -> DataFram
     return rows.join(F.broadcast(heavy), key_cols, "left_anti")
 
 
-def _block_pair_fn(n_blocks: int, threshold: float):
-    """applyInPandas body for ngram_jaccard_pairs: exact intersection
-    counts for one block pair, vectorized in numpy.
+def _pairs_same_block(ids, szs, flat, lens, threshold):
+    """Exact intersection counts for every unordered doc pair of ONE
+    block that shares a shingle hash — segment-cartesian index arrays
+    plus one sort-based unique. Returns (id_a, id_b, sz_a, sz_b,
+    common) with a conservative threshold prefilter applied (the
+    caller re-applies the exact double-division Jaccard filter in
+    Spark, so the prefilter slack only costs a few borderline rows,
+    never correctness)."""
+    import numpy as np
 
-    The group carries every doc of blocks (i, g) as (id, sz, sorted
-    shingle-hash array). Pair co-occurrences are generated as index
-    arrays (segment-cartesian over shared hashes), counted with one
-    sort-based unique, and only pairs that can reach the Jaccard
-    threshold are emitted — a few rows per task instead of the
-    f(f-1)/2-per-shingle pair stream the old plan shuffled (87M rows
-    at sf1.0). Counting per unordered pair happens in exactly one
-    block-pair task, so the union of all tasks' emissions is exact.
-    """
+    if not len(flat):
+        return None
+    drow = np.repeat(np.arange(len(ids)), lens)
+    order = np.argsort(flat, kind="stable")
+    codes, drow = flat[order], drow[order]
+    seg_start = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+    f = np.diff(np.r_[seg_start, len(codes)])
+    row_seg = np.repeat(np.arange(len(f)), f)
+    local = np.arange(len(codes)) - seg_start[row_seg]
+    rep = f[row_seg] - local - 1
+    tot = int(rep.sum())
+    if tot == 0:
+        return None
+    a_rows = np.repeat(np.arange(len(codes)), rep)
+    cum0 = np.concatenate(([0], np.cumsum(rep)[:-1]))
+    b_rows = np.arange(tot) - np.repeat(cum0, rep) + a_rows + 1
+    da, db = drow[a_rows], drow[b_rows]
+    lo_i, hi_i = np.minimum(da, db), np.maximum(da, db)
+    key = lo_i * len(ids) + hi_i
+    uk, counts = np.unique(key, return_counts=True)
+    da, db = uk // len(ids), uk % len(ids)
+    return _orient_and_prefilter(
+        ids[da], szs[da], ids[db], szs[db], counts, threshold
+    )
+
+
+def _pairs_cross_block(
+    ids_a, szs_a, flat_a, lens_a, ids_b, szs_b, flat_b, lens_b, threshold
+):
+    """Cross-block sibling of _pairs_same_block: every (a-doc, b-doc)
+    pair sharing a hash, via sorted-side searchsorted ranges."""
+    import numpy as np
+
+    if not len(ids_a) or not len(ids_b):
+        return None
+    drow_a = np.repeat(np.arange(len(ids_a)), lens_a)
+    drow_b = np.repeat(np.arange(len(ids_b)), lens_b)
+    oa = np.argsort(flat_a, kind="stable")
+    ob = np.argsort(flat_b, kind="stable")
+    ca, drow_a = flat_a[oa], drow_a[oa]
+    cb, drow_b = flat_b[ob], drow_b[ob]
+    left = np.searchsorted(cb, ca, "left")
+    rep = np.searchsorted(cb, ca, "right") - left
+    tot = int(rep.sum())
+    if tot == 0:
+        return None
+    a_rows = np.repeat(np.arange(len(ca)), rep)
+    cum0 = np.concatenate(([0], np.cumsum(rep)[:-1]))
+    b_pos = np.arange(tot) - np.repeat(cum0, rep) + np.repeat(left, rep)
+    da, db = drow_a[a_rows], drow_b[b_pos]
+    key = da * len(ids_b) + db
+    uk, counts = np.unique(key, return_counts=True)
+    da, db = uk // len(ids_b), uk % len(ids_b)
+    return _orient_and_prefilter(
+        ids_a[da], szs_a[da], ids_b[db], szs_b[db], counts, threshold
+    )
+
+
+def _orient_and_prefilter(ia, sa, ib, sb, counts, threshold):
+    """Canonical (id_a < id_b) orientation + the conservative
+    J >= t <=> common(1+t) >= t(sza+szb) prefilter."""
+    import numpy as np
+
+    swap = ia > ib
+    ida = np.where(swap, ib, ia)
+    idb = np.where(swap, ia, ib)
+    sza = np.where(swap, sb, sa)
+    szb = np.where(swap, sa, sb)
+    keep = counts * (1.0 + threshold) >= threshold * (sza + szb) - 1e-6
+    return ida[keep], idb[keep], sza[keep], szb[keep], counts[keep]
+
+
+def _block_pair_fn(n_blocks: int, threshold: float):
+    """applyInPandas body for ngram_jaccard_pairs (replicated-shuffle
+    path): the group carries every doc of blocks (i, g) as (id, sz,
+    shingle-hash array); counting per unordered pair happens in
+    exactly one block-pair task, so the union of all tasks' emissions
+    is exact."""
     import numpy as np
     import pandas as pd
 
@@ -209,87 +284,39 @@ def _block_pair_fn(n_blocks: int, threshold: float):
             (len(a) for a in lists), dtype=np.int64, count=len(lists)
         )
         if i == g:
-            # intra-block: all unordered doc pairs sharing a hash,
-            # generated once each via within-segment suffix indices
             flat = (
                 np.concatenate(lists).astype(np.int64, copy=False)
                 if len(lists)
                 else np.empty(0, np.int64)
             )
-            drow = np.repeat(np.arange(len(ids)), lens)
-            order = np.argsort(flat, kind="stable")
-            codes, drow = flat[order], drow[order]
-            seg_start = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
-            if not len(codes):
-                return empty
-            f = np.diff(np.r_[seg_start, len(codes)])
-            row_seg = np.repeat(np.arange(len(f)), f)
-            local = np.arange(len(codes)) - seg_start[row_seg]
-            rep = f[row_seg] - local - 1
-            tot = int(rep.sum())
-            if tot == 0:
-                return empty
-            a_rows = np.repeat(np.arange(len(codes)), rep)
-            cum0 = np.concatenate(([0], np.cumsum(rep)[:-1]))
-            b_rows = np.arange(tot) - np.repeat(cum0, rep) + a_rows + 1
-            da, db = drow[a_rows], drow[b_rows]
-            lo_i, hi_i = np.minimum(da, db), np.maximum(da, db)
-            key = lo_i * len(ids) + hi_i
-            uk, counts = np.unique(key, return_counts=True)
-            da, db = uk // len(ids), uk % len(ids)
-            ia, ib = ids[da], ids[db]
-            sa, sb = szs[da], szs[db]
-            swap = ia > ib
-            ida = np.where(swap, ib, ia)
-            idb = np.where(swap, ia, ib)
-            sza = np.where(swap, sb, sa)
-            szb = np.where(swap, sa, sb)
+            out = _pairs_same_block(ids, szs, flat, lens, threshold)
         else:
             am = blks == i
-            ids_a, szs_a, lens_a = ids[am], szs[am], lens[am]
-            ids_b, szs_b, lens_b = ids[~am], szs[~am], lens[~am]
-            if not len(ids_a) or not len(ids_b):
-                return empty
             la, lb = lists[am], lists[~am]
-            flat_a = np.concatenate(la).astype(np.int64, copy=False)
-            flat_b = np.concatenate(lb).astype(np.int64, copy=False)
-            drow_a = np.repeat(np.arange(len(ids_a)), lens_a)
-            drow_b = np.repeat(np.arange(len(ids_b)), lens_b)
-            oa = np.argsort(flat_a, kind="stable")
-            ob = np.argsort(flat_b, kind="stable")
-            ca, drow_a = flat_a[oa], drow_a[oa]
-            cb, drow_b = flat_b[ob], drow_b[ob]
-            left = np.searchsorted(cb, ca, "left")
-            rep = np.searchsorted(cb, ca, "right") - left
-            tot = int(rep.sum())
-            if tot == 0:
-                return empty
-            a_rows = np.repeat(np.arange(len(ca)), rep)
-            cum0 = np.concatenate(([0], np.cumsum(rep)[:-1]))
-            b_pos = np.arange(tot) - np.repeat(cum0, rep) + np.repeat(left, rep)
-            da, db = drow_a[a_rows], drow_b[b_pos]
-            key = da * len(ids_b) + db
-            uk, counts = np.unique(key, return_counts=True)
-            da, db = uk // len(ids_b), uk % len(ids_b)
-            ia, ib = ids_a[da], ids_b[db]
-            sa, sb = szs_a[da], szs_b[db]
-            swap = ia > ib
-            ida = np.where(swap, ib, ia)
-            idb = np.where(swap, ia, ib)
-            sza = np.where(swap, sb, sa)
-            szb = np.where(swap, sa, sb)
-        # conservative prefilter (tiny slack): J >= t <=> common(1+t)
-        # >= t(sza+szb). The caller re-applies the exact double-
-        # division filter in Spark, so the slack only costs a few
-        # borderline rows, never correctness.
-        keep = counts * (1.0 + threshold) >= threshold * (sza + szb) - 1e-6
+            flat_a = (
+                np.concatenate(la).astype(np.int64, copy=False)
+                if len(la)
+                else np.empty(0, np.int64)
+            )
+            flat_b = (
+                np.concatenate(lb).astype(np.int64, copy=False)
+                if len(lb)
+                else np.empty(0, np.int64)
+            )
+            out = _pairs_cross_block(
+                ids[am], szs[am], flat_a, lens[am],
+                ids[~am], szs[~am], flat_b, lens[~am], threshold,
+            )
+        if out is None:
+            return empty
+        ida, idb, sza, szb, counts = out
         return pd.DataFrame(
             {
-                "id_a": ida[keep],
-                "id_b": idb[keep],
-                "sz_a": sza[keep],
-                "sz_b": szb[keep],
-                "_common": counts[keep],
+                "id_a": ida,
+                "id_b": idb,
+                "sz_a": sza,
+                "sz_b": szb,
+                "_common": counts,
             }
         )
 
@@ -361,11 +388,11 @@ def ngram_jaccard_pairs(
     )
     if df_cap is not None:
         sh = _drop_heavy_keys(sh, ["_sh"], df_cap)
-    # one row per doc: post-cap size + sorted hash array (sort_array is
-    # cheap here — one ~sz-element sort per doc on the exploded agg)
+    # one row per doc: post-cap size + hash array (the numpy cores
+    # argsort the flattened hashes themselves, so no per-doc sort here)
     docs_arr = sh.groupBy("_id").agg(
         F.count(F.lit(1)).alias("_sz"),
-        F.sort_array(F.collect_list("_sh")).alias("_shl"),
+        F.collect_list("_sh").alias("_shl"),
     )
     if blocks is None:
         import math
@@ -376,29 +403,111 @@ def ngram_jaccard_pairs(
         # reducers, and small B is actively bad — B=8 was 4x slower).
         par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
         blocks = max(1, math.isqrt(4 * par))
-    blk = F.pmod(F.xxhash64("_id"), F.lit(blocks)).cast("int")
-    bp_ids = F.array(
-        *[
-            F.least(F.col("_blk"), F.lit(j)) * blocks
-            + F.greatest(F.col("_blk"), F.lit(j))
-            for j in range(blocks)
-        ]
-    )
-    rep = (
-        docs_arr.withColumn("_blk", blk)
-        .withColumn("_bp", F.explode(bp_ids))
-        .select("_bp", "_blk", "_id", "_sz", "_shl")
-    )
-    common = rep.groupBy("_bp").applyInPandas(
-        _block_pair_fn(blocks, float(threshold)),
-        "id_a long, id_b long, sz_a long, sz_b long, _common long",
-    )
+    pair_schema = "id_a long, id_b long, sz_a long, sz_b long, _common long"
+    if _tiny_plan(df, min_bytes=64 * 1024 * 1024):
+        # corpus small enough to ship whole: one Arrow collect of the
+        # (id, sz, hashes) table + SparkContext.broadcast (one copy per
+        # executor) replaces the B-fold replicated shuffle AND the
+        # per-task Arrow input entirely — each block-pair task slices
+        # its two blocks out of the broadcast (measured: the trivial-fn
+        # transfer alone cost 1.2s of the 4s apply stage at sf1.0). At
+        # scale the stats exceed the bound and the replicated-shuffle
+        # path below runs instead; results are identical either way
+        # (block assignment only partitions the work).
+        common = _block_pairs_via_broadcast(
+            df.sparkSession, docs_arr, blocks, float(threshold), pair_schema
+        )
+    else:
+        blk = F.pmod(F.xxhash64("_id"), F.lit(blocks)).cast("int")
+        bp_ids = F.array(
+            *[
+                F.least(F.col("_blk"), F.lit(j)) * blocks
+                + F.greatest(F.col("_blk"), F.lit(j))
+                for j in range(blocks)
+            ]
+        )
+        rep = (
+            docs_arr.withColumn("_blk", blk)
+            .withColumn("_bp", F.explode(bp_ids))
+            .select("_bp", "_blk", "_id", "_sz", "_shl")
+        )
+        common = rep.groupBy("_bp").applyInPandas(
+            _block_pair_fn(blocks, float(threshold)), pair_schema
+        )
     jac = F.col("_common") / (F.col("sz_a") + F.col("sz_b") - F.col("_common"))
     return (
         common.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _block_pairs_via_broadcast(spark, docs_arr, blocks, threshold, schema):
+    """Broadcast-corpus variant of the block-pair counting stage.
+
+    Collects the per-doc (id, sz, hash-array) table once via Arrow,
+    splits it into ``blocks`` contiguous row slices (flat-buffer
+    slicing, no gather), broadcasts the slices, and runs one task per
+    block pair over a tiny parallelized bp-id frame — zero shuffle,
+    zero per-task Arrow input.
+    """
+    import numpy as np
+
+    tbl = docs_arr.toArrow()
+    ids = tbl.column("_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    szs = tbl.column("_sz").to_numpy(zero_copy_only=False).astype(np.int64)
+    shl = tbl.column("_shl").combine_chunks()
+    flat_all = np.asarray(shl.flatten(), dtype=np.int64)
+    offs = np.asarray(shl.offsets, dtype=np.int64)
+    lens = np.diff(offs)
+    n = len(ids)
+    bounds = [round(b * n / blocks) for b in range(blocks + 1)]
+    slices = []
+    for b in range(blocks):
+        lo, hi = bounds[b], bounds[b + 1]
+        slices.append(
+            (
+                ids[lo:hi],
+                szs[lo:hi],
+                flat_all[offs[lo] : offs[hi]] if hi > lo else flat_all[:0],
+                lens[lo:hi],
+            )
+        )
+    bc = spark.sparkContext.broadcast(slices)
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            for bp in b.column(0).to_pylist():
+                i, g = divmod(int(bp), blocks)
+                blks = bc.value
+                if i == g:
+                    bi = blks[i]
+                    out = _pairs_same_block(bi[0], bi[1], bi[2], bi[3], threshold)
+                else:
+                    bi, bg = blks[i], blks[g]
+                    out = _pairs_cross_block(*bi, *bg, threshold)
+                if out is None:
+                    continue
+                ida, idb, sza, szb, counts = out
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ida),
+                        pa.array(idb),
+                        pa.array(sza.astype(np.int64)),
+                        pa.array(szb.astype(np.int64)),
+                        pa.array(counts.astype(np.int64)),
+                    ],
+                    ["id_a", "id_b", "sz_a", "sz_b", "_common"],
+                )
+
+    bp_vals = [i * blocks + g for i in range(blocks) for g in range(i, blocks)]
+    bp_rdd = spark.sparkContext.parallelize(
+        [(v,) for v in bp_vals], max(len(bp_vals), 1)
+    )
+    bp_df = spark.createDataFrame(bp_rdd, "_bp int")
+    return bp_df.mapInArrow(fn, schema)
 
 
 def minhash_signatures(

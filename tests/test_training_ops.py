@@ -67,6 +67,26 @@ def test_ngram_jaccard_matches_python_oracle(spark, docs_df):
             assert (ia, ib) not in got
 
 
+def test_ngram_block_pair_paths_agree(spark, docs_df, monkeypatch):
+    """The broadcast-corpus and replicated-shuffle block-pair paths
+    must produce the identical pair set (the size-stats branch picks
+    between them transparently at plan build)."""
+    import logstash_filter_elasticsearch_spark.operators.dedup as D
+
+    def run():
+        return {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs_df, "doc_id", "text", n=2, threshold=0.1, blocks=3
+            ).collect()
+        }
+
+    broadcast_path = run()  # tiny fixture -> broadcast branch
+    monkeypatch.setattr(D, "_tiny_plan", lambda df, min_bytes=0: False)
+    shuffle_path = run()  # forced replicated-shuffle branch
+    assert broadcast_path == shuffle_path and broadcast_path
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs_df):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
