@@ -81,8 +81,17 @@ def q_enrich_left_join(spark, sf_dir):
 
 def q_fields_multi_hit(spark, sf_dir):
     """A6 multi-hit: scalar-vs-array rule over orders per user
-    (dsl_executor.rb:58; spec elasticsearch_dsl_spec.rb:100-119)."""
-    events = _t(spark, sf_dir, "events")
+    (dsl_executor.rb:58; spec elasticsearch_dsl_spec.rb:100-119).
+
+    The probe side hash-spreads on the unique event id (sort-free
+    exchange, size-guarded no-op for small inputs): this query's
+    post-join projection builds per-event arrays + JSON, heavy enough
+    that parallelizing the single-file probe scan wins (measured
+    1.33s -> 1.0s at sf1.0; the lighter top-1 enrich queries measured
+    the same spread as a LOSS and stay unspread)."""
+    from logstash_filter_elasticsearch_spark.operators.dedup import _spread_by
+
+    events = _spread_by(_t(spark, sf_dir, "events"), ["event_id"])
     orders = _t(spark, sf_dir, "orders")
     spec = EnrichSpec(
         event_key="user_id",

@@ -106,8 +106,12 @@ def cosine_topk(
     bc = corpus.sparkSession.sparkContext.broadcast((q_ids_np, q_mat))
     id_t = corpus.schema[id_col].dataType.simpleString()
 
+    # mapInArrow: corpus vectors come off the batch zero-copy
+    # (flatten+reshape) instead of a per-row object-array build; the
+    # float->double element casts and the sequential per-dimension
+    # accumulation are unchanged, so results stay bit-identical
     def score(batches):
-        import pandas as pd
+        import pyarrow as pa
 
         q_ids, q_mat = bc.value
         nq = len(q_ids)
@@ -116,17 +120,19 @@ def cosine_topk(
             d = q_mat[:, i]
             qn = qn + d * d
         qn = np.sqrt(qn)
-        for pdf in batches:
-            c = np.array(list(pdf["v"]), dtype=np.float64)
-            n = len(c)
+        for b in batches:
+            n = b.num_rows
             if not n:
                 continue
+            c = _list_to_matrix(b.column(1), n, dim).astype(
+                np.float64, copy=False
+            )
             cn = np.zeros(n)
             for i in range(dim):
                 d = c[:, i]
                 cn = cn + d * d
             cn = np.sqrt(cn)
-            ids = pdf["i"].to_numpy()
+            ids = b.column(0).to_numpy(zero_copy_only=False)
             out_q, out_c, out_cos = [], [], []
             for j in range(nq):
                 acc = np.zeros(n)
@@ -137,18 +143,19 @@ def cosine_topk(
                 out_q.append(np.full(int(mask.sum()), q_ids[j]))
                 out_c.append(ids[mask])
                 out_cos.append(cos[mask])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_c),
-                    "cos": np.concatenate(out_cos),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_c)),
+                    pa.array(np.concatenate(out_cos)),
+                ],
+                ["query_id", "neighbor_id", "cos"],
             )
 
     src = _spread(
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
     )
-    scored = src.mapInPandas(
+    scored = src.mapInArrow(
         score, schema=f"query_id {id_t}, neighbor_id {id_t}, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
