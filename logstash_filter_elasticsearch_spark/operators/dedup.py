@@ -87,7 +87,7 @@ def with_word_shingles(
     return df.withColumn(out, word_shingles(F.col(text_col), n))
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     """Repartition a too-coarse scan before expensive per-row work.
 
     Guide §2.5 "input skew": a single-file (single-row-group) parquet
@@ -99,6 +99,12 @@ def _spread(df: DataFrame) -> DataFrame:
     (e.g. the 64-file bench pipeline dataset), so well-laid-out tables
     never pay an extra shuffle. Deterministic under retries (Spark
     sorts before round-robin repartition, SPARK-23207).
+
+    ``min_bytes``: optional plan-stats floor — callers whose per-row
+    work is CHEAP relative to task overhead (the similarity numpy
+    stages: one matmul row per vector) skip spreading tiny inputs.
+    Regex-heavy callers keep the default 0 (always spread): even a
+    0.6 MB corpus measured faster spread than not.
     """
     if df.isStreaming:  # partition introspection needs a batch plan
         return df
@@ -108,7 +114,7 @@ def _spread(df: DataFrame) -> DataFrame:
         nparts = df.rdd.getNumPartitions()
     except Exception:
         return df
-    if nparts * 4 > target or _tiny_plan(df):
+    if nparts * 4 > target or (min_bytes and _tiny_plan(df, min_bytes)):
         return df
     return df.repartition(target)
 
@@ -121,8 +127,10 @@ def _tiny_plan(df: DataFrame, min_bytes: int = 4 * 1024 * 1024) -> bool:
     1.3s spread, while every sf1.0 table is >10 MB and spreads).
     Statistics only — no job is triggered."""
     try:
-        stats = df._jdf.queryExecution().optimizedPlan().stats()
-        return int(stats.sizeInBytes().toString()) < min_bytes
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j auto-converts java BigInteger to int; str() covers any
+        # BigInt-like object it hands back instead
+        return int(size if isinstance(size, int) else str(size)) < min_bytes
     except Exception:
         return False
 
@@ -403,111 +411,35 @@ def ngram_jaccard_pairs(
         # reducers, and small B is actively bad — B=8 was 4x slower).
         par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
         blocks = max(1, math.isqrt(4 * par))
-    pair_schema = "id_a long, id_b long, sz_a long, sz_b long, _common long"
-    if _tiny_plan(df, min_bytes=64 * 1024 * 1024):
-        # corpus small enough to ship whole: one Arrow collect of the
-        # (id, sz, hashes) table + SparkContext.broadcast (one copy per
-        # executor) replaces the B-fold replicated shuffle AND the
-        # per-task Arrow input entirely — each block-pair task slices
-        # its two blocks out of the broadcast (measured: the trivial-fn
-        # transfer alone cost 1.2s of the 4s apply stage at sf1.0). At
-        # scale the stats exceed the bound and the replicated-shuffle
-        # path below runs instead; results are identical either way
-        # (block assignment only partitions the work).
-        common = _block_pairs_via_broadcast(
-            df.sparkSession, docs_arr, blocks, float(threshold), pair_schema
-        )
-    else:
-        blk = F.pmod(F.xxhash64("_id"), F.lit(blocks)).cast("int")
-        bp_ids = F.array(
-            *[
-                F.least(F.col("_blk"), F.lit(j)) * blocks
-                + F.greatest(F.col("_blk"), F.lit(j))
-                for j in range(blocks)
-            ]
-        )
-        rep = (
-            docs_arr.withColumn("_blk", blk)
-            .withColumn("_bp", F.explode(bp_ids))
-            .select("_bp", "_blk", "_id", "_sz", "_shl")
-        )
-        common = rep.groupBy("_bp").applyInPandas(
-            _block_pair_fn(blocks, float(threshold)), pair_schema
-        )
+    # A broadcast-corpus variant (collect + SparkContext.broadcast +
+    # one task per block pair, zero shuffle) was built and MEASURED
+    # SLOWER at both sf0.1 and sf1.0: the eager Arrow collect
+    # serializes the shingle job and the python stage into separate
+    # jobs, losing the overlap the single replicated-shuffle job gets.
+    # The replicated shuffle stays the only path.
+    blk = F.pmod(F.xxhash64("_id"), F.lit(blocks)).cast("int")
+    bp_ids = F.array(
+        *[
+            F.least(F.col("_blk"), F.lit(j)) * blocks
+            + F.greatest(F.col("_blk"), F.lit(j))
+            for j in range(blocks)
+        ]
+    )
+    rep = (
+        docs_arr.withColumn("_blk", blk)
+        .withColumn("_bp", F.explode(bp_ids))
+        .select("_bp", "_blk", "_id", "_sz", "_shl")
+    )
+    common = rep.groupBy("_bp").applyInPandas(
+        _block_pair_fn(blocks, float(threshold)),
+        "id_a long, id_b long, sz_a long, sz_b long, _common long",
+    )
     jac = F.col("_common") / (F.col("sz_a") + F.col("sz_b") - F.col("_common"))
     return (
         common.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-
-
-def _block_pairs_via_broadcast(spark, docs_arr, blocks, threshold, schema):
-    """Broadcast-corpus variant of the block-pair counting stage.
-
-    Collects the per-doc (id, sz, hash-array) table once via Arrow,
-    splits it into ``blocks`` contiguous row slices (flat-buffer
-    slicing, no gather), broadcasts the slices, and runs one task per
-    block pair over a tiny parallelized bp-id frame — zero shuffle,
-    zero per-task Arrow input.
-    """
-    import numpy as np
-
-    tbl = docs_arr.toArrow()
-    ids = tbl.column("_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    szs = tbl.column("_sz").to_numpy(zero_copy_only=False).astype(np.int64)
-    shl = tbl.column("_shl").combine_chunks()
-    flat_all = np.asarray(shl.flatten(), dtype=np.int64)
-    offs = np.asarray(shl.offsets, dtype=np.int64)
-    lens = np.diff(offs)
-    n = len(ids)
-    bounds = [round(b * n / blocks) for b in range(blocks + 1)]
-    slices = []
-    for b in range(blocks):
-        lo, hi = bounds[b], bounds[b + 1]
-        slices.append(
-            (
-                ids[lo:hi],
-                szs[lo:hi],
-                flat_all[offs[lo] : offs[hi]] if hi > lo else flat_all[:0],
-                lens[lo:hi],
-            )
-        )
-    bc = spark.sparkContext.broadcast(slices)
-
-    def fn(batches):
-        import pyarrow as pa
-
-        for b in batches:
-            for bp in b.column(0).to_pylist():
-                i, g = divmod(int(bp), blocks)
-                blks = bc.value
-                if i == g:
-                    bi = blks[i]
-                    out = _pairs_same_block(bi[0], bi[1], bi[2], bi[3], threshold)
-                else:
-                    bi, bg = blks[i], blks[g]
-                    out = _pairs_cross_block(*bi, *bg, threshold)
-                if out is None:
-                    continue
-                ida, idb, sza, szb, counts = out
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(ida),
-                        pa.array(idb),
-                        pa.array(sza.astype(np.int64)),
-                        pa.array(szb.astype(np.int64)),
-                        pa.array(counts.astype(np.int64)),
-                    ],
-                    ["id_a", "id_b", "sz_a", "sz_b", "_common"],
-                )
-
-    bp_vals = [i * blocks + g for i in range(blocks) for g in range(i, blocks)]
-    bp_rdd = spark.sparkContext.parallelize(
-        [(v,) for v in bp_vals], max(len(bp_vals), 1)
-    )
-    bp_df = spark.createDataFrame(bp_rdd, "_bp int")
-    return bp_df.mapInArrow(fn, schema)
 
 
 def minhash_signatures(

@@ -153,7 +153,8 @@ def cosine_topk(
             )
 
     src = _spread(
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v")),
+        min_bytes=4 * 1024 * 1024,
     )
     scored = src.mapInArrow(
         score, schema=f"query_id {id_t}, neighbor_id {id_t}, cos double"
@@ -268,7 +269,7 @@ def _bucket_rows(
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     if spread:
-        src = _spread(src)
+        src = _spread(src, min_bytes=4 * 1024 * 1024)
     return src.mapInArrow(
         stage,
         schema=f"{id_alias} long, v array<double>, n double, table int, bucket long",
@@ -326,7 +327,7 @@ def _cell_rows(
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     if spread:
-        src = _spread(src)
+        src = _spread(src, min_bytes=4 * 1024 * 1024)
     return src.mapInArrow(
         stage, schema=f"{id_alias} long, v array<double>, n double, cell int"
     )
@@ -569,7 +570,8 @@ def cosine_near_dup_pairs(
     # runs in ONE task when the input is a single-file scan (guide
     # §2.5) — measured 19.5s -> ~1s at 20k vectors on 32 cores
     src = _spread(
-        df.select(F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v"))
+        df.select(F.col(id_col).cast("long").alias("i"), F.col(vec_col).alias("v")),
+        min_bytes=4 * 1024 * 1024,
     )
     return src.mapInArrow(score, schema="id_a long, id_b long, cos double")
 

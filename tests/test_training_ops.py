@@ -67,24 +67,24 @@ def test_ngram_jaccard_matches_python_oracle(spark, docs_df):
             assert (ia, ib) not in got
 
 
-def test_ngram_block_pair_paths_agree(spark, docs_df, monkeypatch):
-    """The broadcast-corpus and replicated-shuffle block-pair paths
-    must produce the identical pair set (the size-stats branch picks
-    between them transparently at plan build)."""
-    import logstash_filter_elasticsearch_spark.operators.dedup as D
-
-    def run():
-        return {
-            (r["id_a"], r["id_b"]): r["jaccard"]
-            for r in ngram_jaccard_pairs(
-                docs_df, "doc_id", "text", n=2, threshold=0.1, blocks=3
-            ).collect()
-        }
-
-    broadcast_path = run()  # tiny fixture -> broadcast branch
-    monkeypatch.setattr(D, "_tiny_plan", lambda df, min_bytes=0: False)
-    shuffle_path = run()  # forced replicated-shuffle branch
-    assert broadcast_path == shuffle_path and broadcast_path
+def test_ngram_block_pair_fn_multi_block(spark, docs_df):
+    """The block-pair counting must be exact for any block count —
+    intra- and cross-block tasks together emit every qualifying pair
+    exactly once (B=3 forces both task kinds on the tiny fixture)."""
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs_df, "doc_id", "text", n=2, threshold=0.1, blocks=3
+        ).collect()
+    }
+    exp = {
+        (ia, ib): py_jaccard(ta, tb, n=2)
+        for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2)
+        if py_jaccard(ta, tb, n=2) >= 0.1
+    }
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v), k
 
 
 def test_minhash_lsh_finds_near_dups(spark, docs_df):
