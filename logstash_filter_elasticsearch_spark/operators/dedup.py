@@ -360,7 +360,7 @@ def ngram_jaccard_pairs(
     per co-occurrence into a hash aggregate (~2.8 GB, the measured
     bottleneck; guide §2.3 "shuffle keys and metadata, not payloads" —
     here even the keys were the payload). Block replication shuffles
-    nnz x B rows instead (31M at sf1.0, B=12) and the quadratic work
+    nnz x B rows instead (42M at sf1.0, B=16) and the quadratic work
     happens inside numpy at memory speed, emitting ~2.5k rows. The
     JVM->Python boundary carries doc arrays once, not per pair
     (guide §4.2).
