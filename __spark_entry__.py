@@ -1399,94 +1399,98 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order matters: the driver walks entries in order and stops at
-    # 50 (r4 covered the first 50 of 72), so entries that are NEW or
-    # whose code changed this round run FIRST, then the 22 entries whose
-    # newest driver row is r3 (so no green row goes >2 rounds stale),
-    # then the freshly-r4-certified remainder.
+    # Dict order matters: the driver walks entries in order and stops
+    # at 50, so entries whose OPERATOR CODE changed this round run
+    # FIRST (r6 rewrote the dedup/similarity/enrich operators and the
+    # esql edge guards), then the entries whose newest green row is r4
+    # while their shared esql compiler changed in r5/r6 (the VERDICT
+    # rotation rule: no green row goes >2 rounds stale). The trailing
+    # 27 are r5-certified on code that did not change this round.
     return {
-        # -- new or code-changed in r5 (stddev closed form, CHANGE_POINT
-        #    single-pass guard, exact integral div emission, IP_PREFIX
-        #    v6-length validation) --
-        "esql_stats_stddev": q_esql_stats_stddev,
-        "esql_math_tail": q_esql_math_tail,
-        "esql_fulltext": q_esql_fulltext,
-        "esql_grok_apache": q_esql_grok_apache,
-        "query_string_exists": q_query_string_exists,
-        "esql_change_point": q_esql_change_point,
-        "esql_scalar_fns": q_esql_scalar_fns,
-        "esql_ip_prefix": q_esql_ip_prefix,
-        "esql_bucket": q_esql_bucket,
-        "esql_stats_extended": q_esql_stats_extended,
-        # -- last certified in r3: rotate into the driver window --
-        "esql_stats_by": q_esql_stats_by,
-        "esql_where_sort_limit": q_esql_where_sort_limit,
-        "esql_eval_rename": q_esql_eval_rename,
-        "query_template_render": q_query_template_render,
-        "query_template_theta": q_query_template_theta,
-        "query_string_template": q_query_string_template,
+        # -- r6 operator rewrites: block-pair ngram counting, explode
+        #    barriers, min_by enrich fast path, keyed spreads,
+        #    mapInArrow similarity stages, driver-side ANN query sides --
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
-        "salted_route_agg": q_salted_route_agg,
-        "dedup_latest_event": q_dedup_latest_event,
-        "quality_scores": q_quality_scores,
-        "lang_id": q_lang_id,
-        "token_counts": q_token_counts,
-        "fingerprint": q_fingerprint,
-        "multimodal_meta": q_multimodal_meta,
-        "esql_stats_percentile": q_esql_stats_percentile,
-        "esql_like_in": q_esql_like_in,
-        "parse_json_props": q_parse_json_props,
-        "scalar_or_array": q_scalar_or_array,
-        "target_nesting": q_target_nesting,
-        "esql_stats_multi": q_esql_stats_multi,
-        "index_wildcard": q_index_wildcard,
-        # -- certified green in r4 --
-        "esql_sample": q_esql_sample,
-        "match_analyzed": q_match_analyzed,
-        "sort_missing_values": q_sort_missing_values,
-        "esql_grok_logline": q_esql_grok_logline,
-        "esql_fuse": q_esql_fuse,
-        "esql_dissect_modifiers": q_esql_dissect_modifiers,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_topk": q_embedding_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "enrich_left_join": q_enrich_left_join,
         "fields_multi_hit": q_fields_multi_hit,
         "docinfo_latest": q_docinfo_latest,
         "total_hits": q_total_hits,
         "aggregation_fields": q_aggregation_fields,
         "matched_decoration": q_matched_decoration,
-        "quarantine_parse": q_quarantine_parse,
-        "sprintf_index": q_sprintf_index,
-        "query_string_filter": q_query_string_filter,
-        "terms_membership": q_terms_membership,
+        "sort_missing_values": q_sort_missing_values,
+        "scalar_or_array": q_scalar_or_array,
+        "target_nesting": q_target_nesting,
         "topk_per_key": q_topk_per_key,
-        "esql_grok": q_esql_grok,
-        "esql_dissect": q_esql_dissect,
-        "esql_enrich": q_esql_enrich,
-        "esql_mv_expand": q_esql_mv_expand,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "multimodal_decode": q_multimodal_decode,
-        "embedding_topk": q_embedding_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "esql_date_diff": q_esql_date_diff,
-        "esql_rows_to_target_json": q_esql_rows_to_target_json,
-        "esql_inlinestats": q_esql_inlinestats,
+        "query_template_render": q_query_template_render,
+        "query_template_theta": q_query_template_theta,
+        "query_string_template": q_query_string_template,
+        "quality_scores": q_quality_scores,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_normalized": q_dedup_normalized,
+        "quarantine_parse": q_quarantine_parse,
+        # -- r6 esql edge fixes (all-NULL STD_DEV guard, empty
+        #    MV_PERCENTILE guard, QSTR/MATCH quote styles) --
+        "esql_stats_stddev": q_esql_stats_stddev,
+        "esql_stats_extended": q_esql_stats_extended,
+        "esql_math_tail": q_esql_math_tail,
+        "esql_fulltext": q_esql_fulltext,
+        "esql_like_in": q_esql_like_in,
+        # -- newest green row is r4; shared esql compiler changed since --
+        "esql_case_mv": q_esql_case_mv,
         "esql_fork": q_esql_fork,
+        "esql_inlinestats": q_esql_inlinestats,
+        "esql_lookup_join": q_esql_lookup_join,
+        "esql_mv_expand": q_esql_mv_expand,
         "esql_first_row": q_esql_first_row,
         "esql_rows_to_target": q_esql_rows_to_target,
+        "esql_rows_to_target_json": q_esql_rows_to_target_json,
         "esql_total_values": q_esql_total_values,
+        "esql_date_diff": q_esql_date_diff,
         "esql_date_trunc": q_esql_date_trunc,
         "esql_cidr_match": q_esql_cidr_match,
-        "esql_lookup_join": q_esql_lookup_join,
-        "esql_case_mv": q_esql_case_mv,
+        "esql_enrich": q_esql_enrich,
+        "esql_dissect": q_esql_dissect,
         "aggregation_terms": q_aggregation_terms,
         "aggregation_histogram": q_aggregation_histogram,
         "aggregation_date_histogram": q_aggregation_date_histogram,
-        "dedup_exact": q_dedup_exact,
-        "dedup_normalized": q_dedup_normalized,
+        "multimodal_decode": q_multimodal_decode,
+        # -- r5-certified; code unchanged this round --
+        "esql_grok_apache": q_esql_grok_apache,
+        "query_string_exists": q_query_string_exists,
+        "esql_change_point": q_esql_change_point,
+        "esql_scalar_fns": q_esql_scalar_fns,
+        "esql_ip_prefix": q_esql_ip_prefix,
+        "esql_bucket": q_esql_bucket,
+        "esql_stats_by": q_esql_stats_by,
+        "esql_where_sort_limit": q_esql_where_sort_limit,
+        "esql_eval_rename": q_esql_eval_rename,
+        "salted_route_agg": q_salted_route_agg,
+        "dedup_latest_event": q_dedup_latest_event,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "multimodal_meta": q_multimodal_meta,
+        "esql_stats_percentile": q_esql_stats_percentile,
+        "parse_json_props": q_parse_json_props,
+        "esql_stats_multi": q_esql_stats_multi,
+        "index_wildcard": q_index_wildcard,
+        "esql_sample": q_esql_sample,
+        "match_analyzed": q_match_analyzed,
+        "esql_grok_logline": q_esql_grok_logline,
+        "esql_fuse": q_esql_fuse,
+        "esql_dissect_modifiers": q_esql_dissect_modifiers,
+        "sprintf_index": q_sprintf_index,
+        "query_string_filter": q_query_string_filter,
+        "terms_membership": q_terms_membership,
+        "esql_grok": q_esql_grok,
     }
 
 
